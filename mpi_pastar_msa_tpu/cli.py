@@ -1,0 +1,125 @@
+"""Command-line interface: TPU-native equivalent of the reference CLI.
+
+Mirrors the reference's option surface (ref: pastar/msa_options.cpp:30-69):
+  -t/--threads      -> shard count (device-lane count for the TPU engine)
+  -s/--hash_shift   -> owner-hash shift (default 12, pastar/include/CoordHash.h:9-12)
+  -y/--hash_type    -> FZORDER | FSUM | PZORDER | PSUM (default FZORDER)
+  --memory_debug    -> keep interpreter cleanup (reference flips force_quit)
+  positional        -> FASTA file (must be a regular file)
+
+plus TPU-era additions: --engine {auto,serial,native,tpu}, --devices.
+
+Output format follows the reference's printed oracle surface:
+"Final Score:" node line (ref: pastar/backtrace.cpp:53), "Similarity: x.xx%"
+(ref: pastar/backtrace.cpp:162-164), wrapped alignment, and per-shard node
+count table (ref: pastar/PAStar.cpp:591-619).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .core.problem import problem_from_fasta
+from .heuristic.hpair import HPairHeuristic
+from .search.backtrace import build_alignment, format_alignment, similarity
+from .utils.timing import TimeCounter
+
+HASH_TYPES = ("FZORDER", "PZORDER", "FSUM", "PSUM")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="msa_pastar",
+        description="TPU-native parallel A* multiple sequence alignment",
+    )
+    ap.add_argument("fasta", help="input FASTA file")
+    ap.add_argument("-t", "--threads", type=int, default=0,
+                    help="shard count (0 = one per device)")
+    ap.add_argument("-s", "--hash_shift", type=int, default=12,
+                    help="owner-hash shift (default 12)")
+    ap.add_argument("-y", "--hash_type", choices=HASH_TYPES, default="FZORDER",
+                    help="owner-hash strategy")
+    ap.add_argument("--memory_debug", action="store_true",
+                    help="run full cleanup before exiting")
+    ap.add_argument("--engine", choices=("auto", "serial", "native", "tpu"),
+                    default="auto", help="search engine backend")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="number of devices for the tpu engine (0 = all)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="alignment print width (default: terminal width)")
+    return ap
+
+
+def run(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+    if not os.path.isfile(args.fasta):
+        print(f"Option parse error: File {args.fasta} does not exist or isn't a regular file",
+              file=sys.stderr)
+        return 1
+
+    problem = problem_from_fasta(args.fasta)
+    print(f"Aligning {problem.n_seq} sequences (max length {problem.max_length}) "
+          f"with engine={args.engine} hash={args.hash_type} shift={args.hash_shift}")
+
+    with TimeCounter("Phase 1 - init heuristic: "):
+        heuristic = HPairHeuristic.build(problem)
+
+    engine = args.engine
+    if engine == "auto":
+        engine = "tpu"
+
+    if engine == "serial":
+        from .search.serial import SerialAStar
+
+        with TimeCounter("Phase 2: A-Star running time: "):
+            res = SerialAStar(problem, heuristic).run()
+        closed = res.closed
+        stats = [(res.nodes_expanded, res.nodes_reopened, len(res.closed), res.open_size)]
+    elif engine == "native":
+        from .search.native import NativeAStar
+
+        with TimeCounter("Phase 2: A-Star running time: "):
+            res = NativeAStar(problem, heuristic).run()
+        closed = res.closed
+        stats = [(res.nodes_expanded, res.nodes_reopened, len(res.closed), res.open_size)]
+    else:
+        from .search.engine import TpuFrontierSearch
+
+        with TimeCounter("Phase 2: PA-Star running time: "):
+            eng = TpuFrontierSearch(problem, heuristic,
+                                    n_devices=(args.devices or None),
+                                    hash_type=args.hash_type,
+                                    hash_shift=args.hash_shift)
+            res = eng.run()
+        closed = res.closed
+        stats = res.shard_stats
+
+    g = res.g
+    h = res.h
+    coord_str = "(" + " ".join(str(int(v)) for v in problem.final_coord) + ")"
+    print(f"Final Score: {coord_str}\tg - {g} (h - {h} f - {g + h})")
+
+    with TimeCounter("Phase 3 - backtrace: "):
+        al = build_alignment(problem, closed)
+    print(f"Similarity: {similarity(al):.2f}%")
+    print(format_alignment(al, args.width))
+
+    print("Total nodes counters")
+    total_exp = sum(s[0] for s in stats)
+    total_reopen = sum(s[1] for s in stats)
+    total_closed = sum(s[2] for s in stats)
+    total_open = sum(s[3] for s in stats)
+    for tid, (exp, reopen, closed_n, open_n) in enumerate(stats):
+        print(f"tid {tid}\texpanded {exp}\treopened {reopen}\tclosed {closed_n}\topen {open_n}")
+    print(f"total\texpanded {total_exp}\treopened {total_reopen}"
+          f"\tclosed {total_closed}\topen {total_open}")
+    return 0
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()
