@@ -46,6 +46,8 @@ def make_parser() -> argparse.ArgumentParser:
                     default="auto", help="search engine backend")
     ap.add_argument("--devices", type=int, default=0,
                     help="number of devices for the tpu engine (0 = all)")
+    ap.add_argument("--platform", default=None,
+                    help="JAX platform to take devices from (e.g. tpu, cpu)")
     ap.add_argument("--width", type=int, default=None,
                     help="alignment print width (default: terminal width)")
     return ap
@@ -84,13 +86,26 @@ def run(argv=None) -> int:
         closed = res.closed
         stats = [(res.nodes_expanded, res.nodes_reopened, len(res.closed), res.open_size)]
     else:
-        from .search.engine import TpuFrontierSearch
+        import jax
 
+        n_dev = args.devices or (args.threads if args.threads > 1 else 1)
+        all_devs = jax.devices(args.platform) if args.platform else jax.devices()
+        if args.platform:
+            jax.config.update("jax_default_device", all_devs[0])
         with TimeCounter("Phase 2: PA-Star running time: "):
-            eng = TpuFrontierSearch(problem, heuristic,
-                                    n_devices=(args.devices or None),
-                                    hash_type=args.hash_type,
-                                    hash_shift=args.hash_shift)
+            if n_dev > 1:
+                from .parallel.sharded import ShardedFrontierSearch
+
+                devs = all_devs[:n_dev]
+                eng = ShardedFrontierSearch(problem, heuristic, devices=devs,
+                                            hash_type=args.hash_type,
+                                            hash_shift=args.hash_shift)
+            else:
+                from .search.engine import TpuFrontierSearch
+
+                eng = TpuFrontierSearch(problem, heuristic,
+                                        hash_type=args.hash_type,
+                                        hash_shift=args.hash_shift)
             res = eng.run()
         closed = res.closed
         stats = res.shard_stats

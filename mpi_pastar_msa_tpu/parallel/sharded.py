@@ -1,0 +1,319 @@
+"""Multi-chip sharded frontier engine: HDA* over a JAX device mesh.
+
+TPU-native re-design of the reference's distributed PA*
+(ref: pastar/PAStar.cpp, pastar/pastar_functions/): every lattice state is
+owned by exactly one shard via the configurable owner hash
+(ref: pastar/CoordHash.cpp:191-245); each super-step every device
+
+  1. selects its lowest-f open batch from its own table shard,
+  2. expands all successors and computes each child's owner shard,
+  3. exchanges migrants with a single tiled ``all_to_all`` over ICI
+     (replacing the sender/receiver/processor thread trio + LZ4 wire codec,
+     ref: pastar/pastar_functions/PAStarSender.cpp / PAStarReceiver.cpp),
+  4. inserts received candidates into its local shard with
+     decrease-key/reopen semantics,
+  5. joins the global termination consensus: ``pmin`` over local best-f and
+     goal candidates — the collective analogue of the reference's two
+     ``MPI_Allreduce`` calls (ref: pastar/PAStar.cpp:502-519).  Because the
+     exchange happens inside the same super-step, the reference's whole
+     flush/barrier quiescence dance (ref: pastar/PAStar.cpp:277-298) is
+     unnecessary: an ``all_to_all`` IS a quiescent exchange.
+
+The entire search loop runs on-device inside ``shard_map`` (one dispatch, one
+final host transfer), and the distributed backtrace is a lockstep walk where
+the owner shard answers each lookup and ``psum`` broadcasts it — collapsing
+the reference's token-passing FSM (ref: PAStarDistributedBacktrace.cpp).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.problem import Problem
+from ..heuristic.hpair import HPairHeuristic
+from ..search.engine import (
+    INF,
+    _EMPTY_WORD,
+    _Static,
+    _expand,
+    _hash_keys,
+    _insert,
+    _pack_keys,
+    _probe_slot,
+    _select,
+)
+from .partition import owner_fn
+
+AXIS = "shards"
+
+
+@dataclass
+class ShardedSearchResult:
+    g: int
+    h: int
+    f: int
+    closed: Dict[Tuple[int, ...], Tuple[int, int]]
+    nodes_expanded: int
+    nodes_reopened: int
+    open_size: int
+    steps: int
+    shard_stats: List[Tuple[int, int, int, int]]
+
+
+def _route(st: _Static, ndev: int, owner, coords, keys, g_c, f_c, mask_c, valid):
+    """Sort candidates by destination shard and build the (ndev, L) exchange
+    buffer, then swap rows with a tiled all_to_all."""
+    L = keys.shape[0]
+    dest = jnp.where(valid, owner(coords), ndev).astype(jnp.int32)  # (L,)
+
+    # sort every field by destination (invalid -> ndev, sorted last)
+    key_w = [keys[:, w].astype(jnp.uint32) for w in range(st.W)]
+    sort_in = (dest, g_c, f_c, mask_c) + tuple(key_w)
+    sorted_vals = jax.lax.sort(sort_in, num_keys=1)
+    dest_s, g_s, f_s, mask_s = sorted_vals[:4]
+    keys_s = jnp.stack(sorted_vals[4:], axis=-1)
+
+    # start offset of each destination's run
+    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest_s].add(1, mode="drop")
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    idx = jnp.arange(L, dtype=jnp.int32)
+    col = idx - starts[jnp.clip(dest_s, 0, ndev)]
+
+    # scatter into (ndev, L) padded send buffer; invalid rows dropped
+    flat = jnp.where(dest_s < ndev, dest_s * L + col, ndev * L)
+    buf_g = jnp.full((ndev * L,), INF, jnp.int32).at[flat].set(g_s, mode="drop")
+    buf_f = jnp.full((ndev * L,), INF, jnp.int32).at[flat].set(f_s, mode="drop")
+    buf_m = jnp.zeros((ndev * L,), jnp.int32).at[flat].set(mask_s, mode="drop")
+    buf_k = jnp.full((ndev * L, st.W), _EMPTY_WORD, jnp.uint32).at[flat].set(
+        keys_s, mode="drop"
+    )
+
+    # single tiled all_to_all per field (ICI); row j <-> shard j
+    def xch(x):
+        return jax.lax.all_to_all(
+            x.reshape((ndev, L) + x.shape[1:]), AXIS, 0, 0, tiled=False
+        ).reshape((ndev * L,) + x.shape[1:])
+
+    rg = xch(buf_g)
+    rf = xch(buf_f)
+    rm = xch(buf_m)
+    rk = xch(buf_k)
+    rvalid = rk[:, 0] != _EMPTY_WORD
+    return rk, rg, rf, rm, rvalid
+
+
+def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_shift: int):
+    own = owner_fn(hash_type, ndev, hash_shift)
+    root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
+    goal_owner_np = int(own(st.final_np[None, :])[0])
+    root_h = None  # filled by caller closure via init args
+
+    def device_fn(root_h_arr, max_steps):
+        dev = jax.lax.axis_index(AXIS)
+        C, W = st.C, st.W
+        t_key = jnp.full((C, W), _EMPTY_WORD, dtype=jnp.uint32)
+        t_g = jnp.full((C,), INF, dtype=jnp.int32)
+        t_f = jnp.full((C,), INF, dtype=jnp.int32)
+        t_par = jnp.zeros((C,), dtype=jnp.int32)
+        t_state = jnp.zeros((C,), dtype=jnp.int32)
+
+        # place the root on its owner shard
+        root = jnp.zeros((1, st.n), dtype=jnp.int32)
+        rkey = _pack_keys(root, W)[0]
+        slot = (_hash_keys(rkey[None, :])[0] & np.uint32(C - 1)).astype(jnp.int32)
+        is_owner = dev == root_owner
+        wslot = jnp.where(is_owner, slot, C)
+        t_key = t_key.at[wslot].set(rkey, mode="drop")
+        t_g = t_g.at[wslot].set(0, mode="drop")
+        t_f = t_f.at[wslot].set(root_h_arr[0], mode="drop")
+        t_par = t_par.at[wslot].set((1 << st.n) - 1, mode="drop")
+        t_state = t_state.at[wslot].set(1, mode="drop")
+        tab = (t_key, t_g, t_f, t_par, t_state)
+
+        def cond(carry):
+            _, goal_g, fmin_g, steps, _, _, _, ovf = carry
+            return (fmin_g < goal_g) & (steps < max_steps[0]) & (ovf == 0)
+
+        def body(carry):
+            tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf = carry
+            tab, coords, g, par, active, fmin_l, n_open_l = _select(st, tab, goal_g)
+            keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
+                st, coords, g, par, active
+            )
+            goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
+            rk, rg, rf, rm, rvalid = _route(
+                st, ndev, own, child, keys, g_c, f_c, mask_c, valid
+            )
+            tab, reopen_ct, ovf_l = _insert(st, tab, rk, rg, rf, rm, rvalid)
+            # global consensus (the two MPI_Allreduce analogues)
+            goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
+            fmin_g = jax.lax.pmin(fmin_l, AXIS)
+            return (tab, goal_g, fmin_g, steps + 1,
+                    expanded + jax.lax.psum(jnp.sum(active), AXIS),
+                    reopen + jax.lax.psum(reopen_ct, AXIS),
+                    jax.lax.psum(n_open_l, AXIS),
+                    ovf + jax.lax.psum(ovf_l, AXIS))
+
+        z32 = jnp.asarray(np.int32(0))
+        init = (tab, jnp.asarray(INF), z32, z32, z32, z32, z32, z32)
+        tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        stats = jnp.stack([goal_g, fmin_g, steps, expanded, reopen, n_open, ovf])
+        return tab + (stats,)
+
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+    fn = jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(None), P(None)),
+        out_specs=spec_tab + (P(None),),
+        check_vma=False,
+    )
+    return jax.jit(fn), goal_owner_np
+
+
+def _make_sharded_walk(st: _Static, mesh: Mesh, ndev: int):
+    C = st.C
+    Cmask = np.uint32(C - 1)
+
+    def device_fn(t_key, t_g, t_f, t_par, t_state, start):
+        tmax = int(st.final_np.sum())
+
+        def lookup(coord):
+            key = _pack_keys(coord[None, :], st.W)[0]
+            h0 = _hash_keys(key[None, :])[0]
+
+            def cond(c):
+                r, found, _ = c
+                return (r < st.max_probes) & ~found
+
+            def body(c):
+                r, found, val = c
+                slot = _probe_slot(h0, r, Cmask)
+                k_at = t_key[slot]
+                occupied = k_at[0] != _EMPTY_WORD
+                hit = jnp.all(k_at == key) & occupied
+                val = jnp.where(hit, t_par[slot], val)
+                return r + 1, found | hit, val
+
+            _, found, val = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), False, jnp.int32(0))
+            )
+            # owner shard answers; psum broadcasts to everyone
+            val = jax.lax.psum(jnp.where(found, val, 0), AXIS)
+            found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
+            return val, found
+
+        def scan_body(carry, _):
+            coord, done = carry
+            par, found = lookup(coord)
+            at_origin = jnp.all(coord == 0)
+            emit = ~done & ~at_origin & found
+            mask = jnp.where(emit, par, 0)
+            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
+            coord = jnp.where(emit, coord - bits, coord)
+            done = done | at_origin | ~found
+            return (coord, done), mask
+
+        (coord_fin, _), masks = jax.lax.scan(
+            scan_body, (start, False), None, length=tmax
+        )
+        return masks, coord_fin
+
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+    fn = jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=spec_tab + (P(None),),
+        out_specs=(P(None), P(None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedFrontierSearch:
+    """Mesh-sharded frontier A* (single-host multi-chip; multi-host via
+    jax.distributed uses the same code path)."""
+
+    def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
+                 devices=None, hash_type: str = "FZORDER", hash_shift: int = 12,
+                 batch: Optional[int] = None, capacity: Optional[int] = None,
+                 max_steps: int = 500_000):
+        self.problem = problem
+        self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        self.ndev = len(self.devices)
+        self.mesh = Mesh(np.array(self.devices), (AXIS,))
+        n = problem.n_seq
+        M = (1 << n) - 1
+        if batch is None:
+            batch = max(64, min(2048, (1 << 18) // M))
+        if capacity is None:
+            lattice = 1
+            for L in problem.final_coord:
+                lattice *= int(L) + 1
+                if lattice > (1 << 26):
+                    break
+            per_dev = max(1 << 14, min(1 << 22, lattice * 2 // self.ndev))
+            capacity = 1 << (per_dev - 1).bit_length()
+        self.st = _Static(problem, self.heuristic, batch, capacity)
+        self.max_steps = max_steps
+        self.hash_type = hash_type
+        self.hash_shift = hash_shift
+        self._run, self._goal_owner = _make_sharded_run(
+            self.st, self.mesh, self.ndev, hash_type, hash_shift
+        )
+        self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
+
+    def run(self) -> ShardedSearchResult:
+        st = self.st
+        root_h = np.array([self.heuristic.calculate_h(np.zeros(st.n, np.int32))],
+                          dtype=np.int32)
+        out = self._run(jnp.asarray(root_h), jnp.asarray([self.max_steps]))
+        tab, stats = out[:5], out[5]
+        goal_v, fmin_v, steps, expanded, reopen, n_open, ovf = (
+            int(v) for v in np.asarray(stats)
+        )
+        if ovf > 0:
+            raise RuntimeError(
+                f"shard hash table overflow (per-shard capacity {st.C}); "
+                f"increase capacity"
+            )
+        if steps >= self.max_steps and fmin_v < goal_v:
+            raise RuntimeError("max_steps exceeded")
+        if goal_v >= int(INF):
+            raise RuntimeError("open set exhausted without reaching the goal")
+
+        masks, coord_fin = self._walk(*tab, jnp.asarray(st.final_np))
+        masks = np.asarray(masks)
+        if not np.all(np.asarray(coord_fin) == 0):
+            raise RuntimeError("distributed backtrace did not reach the origin")
+
+        closed: Dict[Tuple[int, ...], Tuple[int, int]] = {}
+        coord = tuple(int(v) for v in st.final_np)
+        origin = tuple(0 for _ in range(st.n))
+        for mv in masks:
+            if coord == origin:
+                break
+            mv = int(mv)
+            if mv == 0:
+                continue
+            closed[coord] = (0, mv)
+            coord = tuple(coord[i] - ((mv >> i) & 1) for i in range(st.n))
+
+        h_goal = self.heuristic.calculate_h(st.final_np)
+        per_shard = max(1, expanded // self.ndev)
+        return ShardedSearchResult(
+            g=goal_v, h=h_goal, f=goal_v + h_goal, closed=closed,
+            nodes_expanded=expanded, nodes_reopened=reopen,
+            open_size=n_open, steps=steps,
+            shard_stats=[(per_shard, reopen // self.ndev, per_shard, n_open // self.ndev)
+                         for _ in range(self.ndev)],
+        )

@@ -1,0 +1,583 @@
+"""TPU batched-frontier A* engine — the flagship search core.
+
+TPU-native re-design of the reference's parallel A* (ref: pastar/PAStar.cpp,
+pastar/Node.cpp:206-248, pastar/include/PriorityList.h): instead of a
+priority-queue loop over single nodes, every super-step
+
+  1. selects a batch of lowest-f open states from a device-resident
+     open/closed hash table (threshold selection via an f-histogram),
+  2. expands all 2^N-1 successor move-masks of every selected state in one
+     fused computation — edge costs and the HPair heuristic are evaluated as
+     MXU matmuls against small constant mask-indicator matrices (see below),
+  3. inserts all successors back into the hash table with decrease-key /
+     reopen semantics (functional linear probing with batched claim
+     resolution).
+
+Optimality does not require strict best-first order: reopening (keep-min-g)
+plus the termination bound ``min_f(open) >= g(goal)`` — the batched analogue
+of the reference's two-phase consensus (ref: pastar/PAStar.cpp:494-519) —
+guarantee the returned goal cost is optimal for an admissible heuristic.
+
+Edge-cost algebra (ref: pastar/Node.cpp:129-152): for move mask m and pair
+p=(x,y) with advance bits bx,by and parent-mask bit p_s,
+
+  pairCost = GG + (E-GG)(bx+by) + (mm + GG - 2E)*bx*by
+             + (O-E)*(bx(1-by)p_y + (1-bx)by p_x)
+
+so the weighted sum over pairs becomes constant-matrix contractions:
+``cost[b,m] = c0 + c1[m] + Both[m,:]@(w*(mm[b,:]+GG-2E)) + (O-E)*Cmat[m,:]@pbit[b,:]``
+where Both/Cmat are precomputed {0,1}/weight matrices over (mask, pair) —
+MXU-friendly f32 matmuls, exact because every product is < 2^24.
+
+The heuristic gather uses the T4 trick: a successor's pair coordinate is
+parent + {0,1}, so only 4 table cells per (node, pair) are ever needed; h for
+ALL masks is then one matmul against a constant one-hot indicator, with the
+int32 values split into hi/lo 12-bit halves so the f32 MXU accumulation stays
+exact.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cost import COST_TABLE, GAP_EXTENSION, GAP_GAP, GAP_OPEN
+from ..core.problem import Problem
+from ..heuristic.hpair import HPairHeuristic
+
+INF = np.int32(2**30)
+_EMPTY_WORD = np.uint32(0xFFFFFFFF)
+_HIST_BUCKETS = 512
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(1, (x - 1).bit_length())
+
+
+@dataclass
+class TpuSearchResult:
+    g: int
+    h: int
+    f: int
+    closed: Dict[Tuple[int, ...], Tuple[int, int]]  # path-only closed dict
+    nodes_expanded: int
+    nodes_reopened: int
+    open_size: int
+    steps: int
+    shard_stats: List[Tuple[int, int, int, int]]
+
+
+class _Static:
+    """Per-problem static data shipped to the device once."""
+
+    def __init__(self, problem: Problem, heuristic: HPairHeuristic,
+                 batch: int, capacity: int):
+        n = problem.n_seq
+        self.n = n
+        self.M = (1 << n) - 1
+        self.W = (n + 1) // 2
+        self.pairs = problem.pairs()
+        P = len(self.pairs)
+        self.P = P
+        self.B = batch
+        self.C = capacity
+        self.lmax = problem.max_length
+        self.S = self.lmax + 2  # table stride with +1 margin for cx+1 gathers
+
+        w_int = heuristic.pair_weights_i().astype(np.int64)  # (P,)
+
+        # move-mask bit matrix (M, N); row m-1 = bits of mask m
+        bits = np.zeros((self.M, n), dtype=np.int32)
+        for m in range(1, self.M + 1):
+            for i in range(n):
+                bits[m - 1, i] = (m >> i) & 1
+        self.bits = bits
+
+        xs = np.array([x for x, _ in self.pairs])
+        ys = np.array([y for _, y in self.pairs])
+        bx = bits[:, xs]  # (M, P)
+        by = bits[:, ys]
+        both = (bx & by).astype(np.int64)
+        E, O, GG = GAP_EXTENSION, GAP_OPEN, GAP_GAP
+
+        self.c0 = int((GG * w_int).sum())
+        self.c1 = ((E - GG) * (w_int[None, :] * (bx + by)).sum(axis=1)).astype(np.int32)  # (M,)
+        self.both_f32 = both.astype(np.float32)  # (M, P)
+        # parent-mask cross matrix: Cmat[m, s] = sum_p w_p (bx!by [y_p==s] + !bx by [x_p==s])
+        cmat = np.zeros((self.M, n), dtype=np.int64)
+        a_y = bx * (1 - by)
+        a_x = (1 - bx) * by
+        for p, (x, y) in enumerate(self.pairs):
+            cmat[:, y] += w_int[p] * a_y[:, p]
+            cmat[:, x] += w_int[p] * a_x[:, p]
+        self.cmat_f32 = cmat.astype(np.float32)
+        self.gap_oe = O - E  # 0 with reference defaults
+
+        # T4 one-hot indicator: Ind[m, p, k] with k = 2*bx + by -> (4P, M)
+        ind = np.zeros((self.M, P, 4), dtype=np.float32)
+        for m in range(self.M):
+            for p in range(P):
+                ind[m, p, 2 * bx[m, p] + by[m, p]] = 1.0
+        self.ind_f32 = ind.reshape(self.M, 4 * P).T.copy()  # (4P, M)
+
+        # device constants
+        self.d_bits = jnp.asarray(bits)
+        self.d_both = jnp.asarray(self.both_f32)
+        self.d_cmat = jnp.asarray(self.cmat_f32)
+        self.d_c1 = jnp.asarray(self.c1)
+        self.d_ind = jnp.asarray(self.ind_f32)
+        self.d_w = jnp.asarray(w_int.astype(np.int32))
+        self.d_xs = jnp.asarray(xs.astype(np.int32))
+        self.d_ys = jnp.asarray(ys.astype(np.int32))
+        self.d_cost_tab = jnp.asarray(COST_TABLE.reshape(-1))  # (128*128,)
+
+        enc = problem.encoded(self.lmax + 1).astype(np.int32)  # (N, Lmax+1), 0-padded
+        self.d_enc = jnp.asarray(enc.reshape(-1))
+        self.enc_stride = self.lmax + 1
+
+        tabs = heuristic.stacked_tables()  # (P, Lmax+1, Lmax+1) with pad
+        stacked = np.zeros((P, self.S, self.S), dtype=np.int32)
+        stacked[:, : tabs.shape[1], : tabs.shape[2]] = np.where(
+            tabs >= 2**29, 0, tabs
+        )  # zero padding: padded cells only reachable from masked-out successors
+        self.d_tables = jnp.asarray(stacked.reshape(-1))
+
+        self.d_final = jnp.asarray(problem.final_coord.astype(np.int32))
+        self.final_np = problem.final_coord.astype(np.int32)
+        self.max_probes = 128
+
+
+def _pack_keys(coords: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(..., N) int32 coords -> (..., W) uint32 packed keys (2 coords/word)."""
+    n = coords.shape[-1]
+    pad = 2 * W - n
+    if pad:
+        coords = jnp.concatenate(
+            [coords, jnp.zeros(coords.shape[:-1] + (pad,), coords.dtype)], axis=-1
+        )
+    c = coords.astype(jnp.uint32)
+    return c[..., 0::2] | (c[..., 1::2] << 16)
+
+
+def _hash_keys(keys: jnp.ndarray) -> jnp.ndarray:
+    """FNV-1a over the W words + murmur3 finalizer -> uint32 hash.
+
+    The finalizer's avalanche keeps linear-probe clusters short even for the
+    highly regular lattice coordinates this table stores.
+    """
+    h = jnp.full(keys.shape[:-1], np.uint32(2166136261), dtype=jnp.uint32)
+    for w in range(keys.shape[-1]):
+        h = (h ^ keys[..., w]) * np.uint32(16777619)
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _probe_slot(h0: jnp.ndarray, r, Cmask: np.uint32) -> jnp.ndarray:
+    """Triangular probing: h0 + r(r+1)/2 visits every slot of a 2^k table."""
+    ru = r.astype(jnp.uint32) if hasattr(r, "astype") else np.uint32(r)
+    off = (ru * (ru + np.uint32(1))) >> np.uint32(1)
+    return ((h0 + off) & Cmask).astype(jnp.int32)
+
+
+def _expand(st: _Static, coords, g, parenti, active):
+    """Expand a batch: (B, N) coords -> all-mask successor candidates.
+
+    Returns flat (B*M,) candidate arrays: keys (B*M, W), g, f, move mask, valid.
+    """
+    B, n = coords.shape
+    M, P, S = st.M, st.P, st.S
+
+    # residues at current positions: ch[b, i] = enc[i, pos_i]
+    pos = jnp.clip(coords, 0, st.enc_stride - 1)
+    ch = jnp.take(
+        st.d_enc,
+        (jnp.arange(n, dtype=jnp.int32) * st.enc_stride)[None, :] + pos,
+        axis=0,
+    )  # (B, N)
+    chx = jnp.take_along_axis(ch, st.d_xs[None, :].repeat(B, 0), axis=1)  # (B, P)
+    chy = jnp.take_along_axis(ch, st.d_ys[None, :].repeat(B, 0), axis=1)
+    mm = jnp.take(st.d_cost_tab, chx * 128 + chy, axis=0)  # (B, P) int32
+
+    E, GG = GAP_EXTENSION, GAP_GAP
+    wmm = (st.d_w[None, :] * (mm + (GG - 2 * E))).astype(jnp.float32)  # (B, P)
+    cost_mm = jax.lax.dot_general(
+        wmm, st.d_both,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, M)
+    cost = st.c0 + st.d_c1[None, :] + cost_mm.astype(jnp.int32)
+    if st.gap_oe != 0:
+        pbit = ((parenti[:, None] >> jnp.arange(n)[None, :]) & 1).astype(jnp.float32)
+        cross = jax.lax.dot_general(
+            pbit, st.d_cmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cost = cost + (st.gap_oe * cross).astype(jnp.int32)
+
+    child = coords[:, None, :] + st.d_bits[None, :, :]  # (B, M, N)
+    valid = jnp.all(child <= st.d_final[None, None, :], axis=-1)  # (B, M)
+    valid = valid & active[:, None]
+
+    # T4 heuristic gather: 4 cells per (node, pair)
+    cx = jnp.take_along_axis(coords, st.d_xs[None, :].repeat(B, 0), axis=1)  # (B, P)
+    cy = jnp.take_along_axis(coords, st.d_ys[None, :].repeat(B, 0), axis=1)
+    base = (jnp.arange(P, dtype=jnp.int32) * (S * S))[None, :]  # (1, P)
+    cx = jnp.clip(cx, 0, S - 2)
+    cy = jnp.clip(cy, 0, S - 2)
+    idx00 = base + cx * S + cy
+    t4 = jnp.stack(
+        [
+            jnp.take(st.d_tables, idx00, axis=0),
+            jnp.take(st.d_tables, idx00 + 1, axis=0),
+            jnp.take(st.d_tables, idx00 + S, axis=0),
+            jnp.take(st.d_tables, idx00 + S + 1, axis=0),
+        ],
+        axis=-1,
+    )  # (B, P, 4) int32; order k=2i+j matches Ind
+    t4w = t4 * st.d_w[None, :, None]  # (B, P, 4) int32, < 2^24-ish
+    hi = (t4w >> 12).astype(jnp.float32).reshape(B, 4 * P)
+    lo = (t4w & 0xFFF).astype(jnp.float32).reshape(B, 4 * P)
+    h_hi = jax.lax.dot_general(hi, st.d_ind, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    h_lo = jax.lax.dot_general(lo, st.d_ind, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    h = (h_hi.astype(jnp.int32) << 12) + h_lo.astype(jnp.int32)  # (B, M)
+
+    g_child = g[:, None] + cost
+    f_child = g_child + h
+    mask_id = jnp.arange(1, M + 1, dtype=jnp.int32)[None, :].repeat(B, 0)
+
+    keys = _pack_keys(child, st.W).reshape(B * M, st.W)
+    keys = jnp.where(valid.reshape(-1, 1), keys, _EMPTY_WORD)
+    is_goal = jnp.all(child == st.d_final[None, None, :], axis=-1) & valid
+    return (
+        keys,
+        g_child.reshape(-1),
+        f_child.reshape(-1),
+        mask_id.reshape(-1),
+        valid.reshape(-1),
+        is_goal.reshape(-1),
+        child.reshape(B * M, n),
+    )
+
+
+def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid):
+    """Batch insert with decrease-key/reopen. Returns (tab, reopen_ct, overflow)."""
+    t_key, t_g, t_f, t_par, t_state = tab
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    L = keys.shape[0]
+    h0 = _hash_keys(keys)
+
+    claim = jnp.full((C,), -1, dtype=jnp.int32)
+    idx_vec = jnp.arange(L, dtype=jnp.int32)
+
+    def cond(carry):
+        r, done, _, _, _, _ = carry
+        return (r < st.max_probes) & jnp.any(~done)
+
+    def body(carry):
+        r, done, slot_out, claimed_out, t_key, claim = carry
+        slot = _probe_slot(h0, r, Cmask)
+        probe_slot = jnp.where(done, C, slot)  # OOB -> dropped in scatters
+        k_at = t_key[jnp.clip(slot, 0, C - 1)]  # (L, W)
+        st_occ = k_at[:, 0] != _EMPTY_WORD
+        match = jnp.all(k_at == keys, axis=1) & st_occ & ~done
+        empty = ~st_occ & ~done
+
+        # claim empties: tag = r*L + idx, unique within this step
+        tag = r * L + idx_vec
+        claim = claim.at[jnp.where(empty, probe_slot, C)].set(tag, mode="drop")
+        won = empty & (claim[jnp.clip(slot, 0, C - 1)] == tag)
+        # winners write their key (occupying the slot)
+        t_key = t_key.at[jnp.where(won, probe_slot, C)].set(keys, mode="drop")
+        # losers re-check: the slot may now hold an equal key written this round
+        k_at2 = t_key[jnp.clip(slot, 0, C - 1)]
+        match2 = jnp.all(k_at2 == keys, axis=1) & ~done & ~won & ~match
+
+        settled = match | won | match2
+        slot_out = jnp.where(settled, slot, slot_out)
+        claimed_out = claimed_out | won
+        done = done | settled
+        return r + 1, done, slot_out, claimed_out, t_key, claim
+
+    done0 = ~valid
+    init = (
+        jnp.int32(0), done0,
+        jnp.full((L,), C, dtype=jnp.int32),
+        jnp.zeros((L,), dtype=bool),
+        t_key, claim,
+    )
+    r_fin, done, slot, claimed, t_key, _ = jax.lax.while_loop(cond, body, init)
+    overflow = jnp.sum(valid & ~done)
+
+    placed = valid & done
+    slot_w = jnp.where(placed, slot, C)
+    slot_c = jnp.clip(slot, 0, C - 1)
+    g_before = jnp.where(claimed, INF, t_g[slot_c])
+    state_before = jnp.where(claimed, 0, t_state[slot_c])
+    improve = placed & (g_new < g_before)
+    slot_i = jnp.where(improve, slot, C)
+    t_g = t_g.at[slot_i].min(g_new, mode="drop")
+    g_after = t_g[slot_c]
+    win_write = improve & (g_new == g_after)
+    slot_ww = jnp.where(win_write, slot, C)
+    t_par = t_par.at[slot_ww].set(parenti_new, mode="drop")
+    t_f = t_f.at[slot_ww].set(f_new, mode="drop")
+    t_state = t_state.at[slot_i].set(jnp.int32(1), mode="drop")
+    reopen_ct = jnp.sum(improve & (state_before == 2))
+    return (t_key, t_g, t_f, t_par, t_state), reopen_ct, overflow
+
+
+def _select(st: _Static, tab, goal_g):
+    """Pick up to B lowest-f open slots via f-histogram thresholding.
+
+    Returns (tab', coords, g, parenti, active, fmin_open, n_open).
+    """
+    t_key, t_g, t_f, t_par, t_state = tab
+    C, B = st.C, st.B
+    is_open = (t_state == 1) & (t_f < goal_g)  # pruning: f >= goal_g can't improve
+    f_open = jnp.where(is_open, t_f, INF)
+    fmin = jnp.min(f_open)
+    n_open = jnp.sum(is_open)
+
+    d = jnp.clip(f_open - fmin, 0, _HIST_BUCKETS - 1)
+    hist = jnp.zeros((_HIST_BUCKETS,), jnp.int32).at[
+        jnp.where(is_open, d, _HIST_BUCKETS)
+    ].add(1, mode="drop")
+    cum = jnp.cumsum(hist)
+    target = jnp.minimum(n_open, B)
+    thr = jnp.argmax(cum >= target)  # first bucket reaching target
+    thr = jnp.where(cum[-1] < target, _HIST_BUCKETS - 1, thr)
+
+    sel_mask = is_open & (d <= thr)
+    pos = jnp.cumsum(sel_mask.astype(jnp.int32))
+    take = sel_mask & (pos <= B)
+    out_idx = jnp.where(take, pos - 1, B)
+    slots = jnp.full((B,), C, dtype=jnp.int32).at[out_idx].set(
+        jnp.arange(C, dtype=jnp.int32), mode="drop"
+    )
+    active = slots < C
+    slot_c = jnp.clip(slots, 0, C - 1)
+
+    keys = t_key[slot_c]  # (B, W)
+    coords = jnp.stack(
+        [
+            ((keys[:, i // 2] >> (16 * (i % 2))) & 0xFFFF).astype(jnp.int32)
+            for i in range(st.n)
+        ],
+        axis=-1,
+    )
+    g = t_g[slot_c]
+    par = t_par[slot_c]
+    # close the selected entries
+    t_state = t_state.at[jnp.where(active, slots, C)].set(jnp.int32(2), mode="drop")
+    return (t_key, t_g, t_f, t_par, t_state), coords, g, par, active, fmin, n_open
+
+
+def _make_step(st: _Static):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(tab, goal_g):
+        tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
+        keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
+        goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
+        tab, reopen_ct, overflow = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
+        expanded = jnp.sum(active)
+        # single packed scalar vector -> one host transfer per step
+        stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
+        return tab, goal_g, stats
+
+    return step
+
+
+def _make_run_loop(st: _Static):
+    """Whole-search-on-device driver: ONE dispatch, one final transfer.
+
+    The host loop version pays a device<->host round trip per super-step —
+    ruinous over a remote-TPU tunnel.  Here the reference's worker/check_stop
+    loop (ref: pastar/PAStar.cpp:551-567) collapses into a single on-device
+    ``lax.while_loop`` whose exit condition IS the termination consensus:
+    stop when min_f(open) >= g(goal candidate), open exhaustion, table
+    overflow, or the step cap.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_loop(tab, max_steps):
+        def cond(carry):
+            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = carry
+            return (fmin < goal_g) & (steps < max_steps) & (overflow == 0)
+
+        def body(carry):
+            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = carry
+            tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
+            keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
+            goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
+            tab, reopen_ct, ovf = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
+            return (tab, goal_g, fmin, steps + 1,
+                    expanded + jnp.sum(active),
+                    reopen + reopen_ct,
+                    n_open, overflow + ovf)
+
+        init = (tab, jnp.asarray(INF), jnp.asarray(np.int32(0)), jnp.asarray(0),
+                jnp.asarray(np.int32(0)), jnp.asarray(np.int32(0)),
+                jnp.asarray(np.int32(0)), jnp.asarray(np.int32(0)))
+        tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        stats = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
+        return tab, stats
+
+    return run_loop
+
+
+def _make_backtrace(st: _Static):
+    """Device-side path walk: goal -> origin through the closed table."""
+    C = st.C
+    Cmask = np.uint32(C - 1)
+
+    @jax.jit
+    def walk(tab, start_coord):
+        t_key, t_g, t_f, t_par, t_state = tab
+        tmax = int(st.final_np.sum())
+
+        def lookup(coord):
+            key = _pack_keys(coord[None, :], st.W)[0]
+            h0 = _hash_keys(key[None, :])[0]
+
+            def cond(c):
+                r, found, _ = c
+                return (r < st.max_probes) & ~found
+
+            def body(c):
+                r, found, val = c
+                slot = _probe_slot(h0, r, Cmask)
+                k_at = t_key[slot]
+                hit = jnp.all(k_at == key)
+                val = jnp.where(hit, t_par[slot], val)
+                return r + 1, hit, val
+
+            _, found, val = jax.lax.while_loop(cond, body, (jnp.int32(0), False, jnp.int32(0)))
+            return val, found
+
+        def scan_body(carry, _):
+            coord, done = carry
+            par, found = lookup(coord)
+            at_origin = jnp.all(coord == 0)
+            emit = ~done & ~at_origin & found
+            mask = jnp.where(emit, par, 0)
+            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
+            coord = jnp.where(emit, coord - bits, coord)
+            done = done | at_origin | ~found
+            return (coord, done), mask
+
+        (coord_fin, _), masks = jax.lax.scan(
+            scan_body, (start_coord, False), None, length=tmax
+        )
+        return masks, coord_fin
+
+    return walk
+
+
+class TpuFrontierSearch:
+    def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
+                 n_devices: Optional[int] = None, hash_type: str = "FZORDER",
+                 hash_shift: int = 12, batch: Optional[int] = None,
+                 capacity: Optional[int] = None, max_steps: int = 1_000_000):
+        self.problem = problem
+        self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
+        n = problem.n_seq
+        M = (1 << n) - 1
+        if batch is None:
+            batch = max(64, min(4096, (1 << 19) // M))
+        if capacity is None:
+            lattice = 1
+            for L in problem.final_coord:
+                lattice *= int(L) + 1
+                if lattice > (1 << 26):
+                    break
+            capacity = min(1 << 23, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 23))))
+        self.st = _Static(problem, self.heuristic, batch, capacity)
+        self.max_steps = max_steps
+        self.hash_type = hash_type
+        self.hash_shift = hash_shift
+        self._step = _make_step(self.st)
+        self._run_loop = _make_run_loop(self.st)
+        self._walk = _make_backtrace(self.st)
+
+    def _init_table(self):
+        st = self.st
+        C, W = st.C, st.W
+        t_key = jnp.full((C, W), _EMPTY_WORD, dtype=jnp.uint32)
+        t_g = jnp.full((C,), INF, dtype=jnp.int32)
+        t_f = jnp.full((C,), INF, dtype=jnp.int32)
+        t_par = jnp.zeros((C,), dtype=jnp.int32)
+        t_state = jnp.zeros((C,), dtype=jnp.int32)
+        # place the root (ref: pastar/PAStar.cpp:147-155 enqueues node_zero)
+        root = np.zeros((1, st.n), dtype=np.int32)
+        key = np.asarray(_pack_keys(jnp.asarray(root), W))[0]
+        h0 = int(np.asarray(_hash_keys(jnp.asarray(key)[None, :]))[0]) & (C - 1)
+        h_root = self.heuristic.calculate_h(root[0])
+        t_key = t_key.at[h0].set(jnp.asarray(key))
+        t_g = t_g.at[h0].set(0)
+        t_f = t_f.at[h0].set(h_root)
+        t_par = t_par.at[h0].set(self.problem.root_parent_mask)
+        t_state = t_state.at[h0].set(1)
+        return (t_key, t_g, t_f, t_par, t_state)
+
+    def run(self) -> TpuSearchResult:
+        st = self.st
+        tab = self._init_table()
+        tab, stats = self._run_loop(tab, jnp.asarray(self.max_steps))
+        goal_v, fmin_v, steps, total_expanded, total_reopen, last_n_open, overflow = (
+            int(v) for v in np.asarray(stats)
+        )
+        if overflow > 0:
+            raise RuntimeError(
+                f"hash table overflow after {steps} steps "
+                f"(capacity {st.C}); increase capacity"
+            )
+        if steps >= self.max_steps and fmin_v < goal_v:
+            raise RuntimeError("max_steps exceeded")
+        if goal_v >= int(INF):
+            raise RuntimeError("open set exhausted without reaching the goal")
+
+        # backtrace on device
+        final = jnp.asarray(st.final_np)
+        masks, coord_fin = self._walk(tab, final)
+        masks = np.asarray(masks)
+        if not np.all(np.asarray(coord_fin) == 0):
+            raise RuntimeError("backtrace did not reach the origin")
+
+        closed: Dict[Tuple[int, ...], Tuple[int, int]] = {}
+        coord = tuple(int(v) for v in st.final_np)
+        origin = tuple(0 for _ in range(st.n))
+        for mv in masks:
+            if coord == origin:
+                break
+            mv = int(mv)
+            if mv == 0:
+                continue
+            closed[coord] = (0, mv)
+            coord = tuple(coord[i] - ((mv >> i) & 1) for i in range(st.n))
+
+        h_goal = self.heuristic.calculate_h(st.final_np)
+        n_closed = total_expanded  # approximation: closed set size ~ expansions
+        return TpuSearchResult(
+            g=goal_v, h=h_goal, f=goal_v + h_goal, closed=closed,
+            nodes_expanded=total_expanded, nodes_reopened=total_reopen,
+            open_size=last_n_open, steps=steps,
+            shard_stats=[(total_expanded, total_reopen, n_closed, last_n_open)],
+        )

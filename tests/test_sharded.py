@@ -1,0 +1,77 @@
+"""Sharded multi-device engine tests on the virtual 8-device CPU mesh."""
+import random
+
+import jax
+import pytest
+
+from mpi_pastar_msa_tpu.core.problem import Problem, problem_from_fasta
+from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+from mpi_pastar_msa_tpu.parallel.sharded import ShardedFrontierSearch
+from mpi_pastar_msa_tpu.search.backtrace import build_alignment, similarity
+from mpi_pastar_msa_tpu.search.serial import SerialAStar
+
+REF = "/root/reference"
+
+
+def _cpu_devices(k):
+    devs = jax.devices("cpu")
+    assert len(devs) >= k, f"conftest should provide 8 CPU devices, got {len(devs)}"
+    return devs[:k]
+
+
+class TestShardedEngine:
+    @pytest.mark.parametrize("ndev", [2, 8])
+    def test_pf08184(self, ndev):
+        p = problem_from_fasta(f"{REF}/PF08184.fasta")
+        h = HPairHeuristic.build(p)
+        res = ShardedFrontierSearch(p, h, devices=_cpu_devices(ndev)).run()
+        assert res.g == 24450
+        al = build_alignment(p, res.closed)
+        assert round(similarity(al), 2) == 95.48
+        for row, s in zip(al, p.seqs):
+            assert row.replace("-", "") == s
+
+    def test_random_matches_serial(self):
+        random.seed(11)
+        seqs = tuple(
+            "".join(random.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(random.randint(5, 10)))
+            for _ in range(4)
+        )
+        p = Problem(seqs)
+        h = HPairHeuristic.build(p)
+        want = SerialAStar(p, h).run().g
+        res = ShardedFrontierSearch(
+            p, h, devices=_cpu_devices(4), batch=32, capacity=1 << 13
+        ).run()
+        assert res.g == want
+
+    @pytest.mark.parametrize("hash_type", ["FZORDER", "FSUM", "PSUM", "PZORDER"])
+    def test_all_hash_types(self, hash_type):
+        p = Problem(("ACDEF", "ACF", "CDE"))
+        h = HPairHeuristic.build(p)
+        want = SerialAStar(p, h).run().g
+        res = ShardedFrontierSearch(
+            p, h, devices=_cpu_devices(2), batch=16, capacity=1 << 12,
+            hash_type=hash_type,
+        ).run()
+        assert res.g == want
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

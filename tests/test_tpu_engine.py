@@ -1,0 +1,117 @@
+"""TPU frontier-engine tests (run on the CPU backend via conftest)."""
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpi_pastar_msa_tpu.core.problem import Problem, problem_from_fasta
+from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+from mpi_pastar_msa_tpu.search import engine as E
+from mpi_pastar_msa_tpu.search.backtrace import build_alignment, similarity
+from mpi_pastar_msa_tpu.search.serial import SerialAStar
+
+REF = "/root/reference"
+
+
+class TestExpandParity:
+    def test_matches_serial_successors(self):
+        p = problem_from_fasta(f"{REF}/test.fasta")
+        h = HPairHeuristic.build(p)
+        sa = SerialAStar(p, h)
+        eng = E.TpuFrontierSearch(p, h, batch=4)
+        st = eng.st
+
+        random.seed(0)
+        coords = [tuple(0 for _ in range(p.n_seq))] + [
+            tuple(random.randint(0, int(l)) for l in p.final_coord) for _ in range(3)
+        ]
+        parentis = [p.root_parent_mask, 5, 255, 37]
+        gs = [0, 100, 50, 7]
+        cj = jnp.asarray(np.array(coords, dtype=np.int32))
+        gj = jnp.asarray(np.array(gs, dtype=np.int32))
+        pj = jnp.asarray(np.array(parentis, dtype=np.int32))
+        act = jnp.ones(4, bool)
+        expand = jax.jit(lambda c, g, pp, a: E._expand(st, c, g, pp, a))
+        _, g_c, f_c, _, valid, _, _ = expand(cj, gj, pj, act)
+        g_c = np.asarray(g_c).reshape(4, st.M)
+        f_c = np.asarray(f_c).reshape(4, st.M)
+        valid = np.asarray(valid).reshape(4, st.M)
+
+        for b, (coord, g0, par) in enumerate(zip(coords, gs, parentis)):
+            ser = {}
+            for child, cg, mask in sa._successors(coord, g0, par):
+                ser[mask] = (cg, cg + sa._h(child))
+            for m in range(st.M):
+                mask = m + 1
+                if mask in ser:
+                    assert valid[b, m]
+                    assert ser[mask] == (g_c[b, m], f_c[b, m])
+                else:
+                    assert not valid[b, m]
+
+
+class TestPackHash:
+    def test_pack_roundtrip(self):
+        coords = jnp.asarray(np.array([[1, 2, 3, 4, 5], [0, 0, 0, 0, 0],
+                                       [65534, 1, 65533, 2, 7]], dtype=np.int32))
+        keys = E._pack_keys(coords, 3)
+        # unpack
+        out = np.stack(
+            [
+                (np.asarray(keys)[:, i // 2] >> (16 * (i % 2))) & 0xFFFF
+                for i in range(5)
+            ],
+            axis=-1,
+        )
+        assert np.array_equal(out, np.asarray(coords))
+
+    def test_hash_avalanche(self):
+        # sequential lattice coords must not cluster
+        n = 4096
+        coords = np.zeros((n, 4), dtype=np.int32)
+        coords[:, 0] = np.arange(n) % 64
+        coords[:, 1] = np.arange(n) // 64
+        keys = E._pack_keys(jnp.asarray(coords), 2)
+        h = np.asarray(E._hash_keys(keys)) & (8192 - 1)
+        # no slot should collect a pathological share
+        counts = np.bincount(h, minlength=8192)
+        assert counts.max() <= 8
+
+
+class TestEngineEndToEnd:
+    @pytest.mark.parametrize(
+        "name,want_g,want_sim",
+        [
+            ("test.fasta", 13950, 50.0),
+            ("PF08184.fasta", 24450, 95.48),
+        ],
+    )
+    def test_bundled(self, name, want_g, want_sim):
+        p = problem_from_fasta(f"{REF}/{name}")
+        h = HPairHeuristic.build(p)
+        res = E.TpuFrontierSearch(p, h).run()
+        assert res.g == want_g
+        al = build_alignment(p, res.closed)
+        assert round(similarity(al), 2) == round(want_sim, 2)
+        for row, s in zip(al, p.seqs):
+            assert row.replace("-", "") == s
+
+    def test_random_matches_serial(self):
+        random.seed(7)
+        seqs = tuple(
+            "".join(random.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(random.randint(5, 12)))
+            for _ in range(4)
+        )
+        p = Problem(seqs)
+        h = HPairHeuristic.build(p)
+        want = SerialAStar(p, h).run().g
+        res = E.TpuFrontierSearch(p, h, batch=64, capacity=1 << 14).run()
+        assert res.g == want
+
+    def test_overflow_detection(self):
+        p = Problem(("ABCD" * 4, "BCDA" * 4, "CDAB" * 4))
+        h = HPairHeuristic.build(p)
+        with pytest.raises(RuntimeError, match="overflow|capacity"):
+            E.TpuFrontierSearch(p, h, batch=512, capacity=1 << 6).run()
