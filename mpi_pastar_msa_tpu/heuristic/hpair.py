@@ -28,8 +28,24 @@ class HPairHeuristic:
     weight_i: np.ndarray                # (N, N) int32 truncated runtime weights
 
     @classmethod
-    def build(cls, problem: Problem) -> "HPairHeuristic":
-        tables = tuple(all_pair_tables(problem.seqs))
+    def build(cls, problem: Problem, backend: str = "host") -> "HPairHeuristic":
+        """Build all pair tables + weights.
+
+        backend="host":   NumPy anti-diagonal DP (reference-exact oracle).
+        backend="device": batched JAX wavefront over all pairs at once
+                          (TPU-native Phase 1; removes the reference's serial
+                          per-pair loop and its MAX_SEQ_SIZE cap).
+        """
+        if backend == "device":
+            from .wavefront import pair_tables_device
+
+            stacked = pair_tables_device(problem)
+            tables = tuple(
+                stacked[k, : len(problem.seqs[x]) + 1, : len(problem.seqs[y]) + 1]
+                for k, (x, y) in enumerate(problem.pairs())
+            )
+        else:
+            tables = tuple(all_pair_tables(problem.seqs))
         wf, wi = altschul_rationale2(problem.seqs)
         return cls(problem, tables, wf, wi)
 

@@ -37,6 +37,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.problem import Problem
 from ..heuristic.hpair import HPairHeuristic
+from ..utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
 from ..search.engine import (
     INF,
     _EMPTY_WORD,

@@ -49,6 +49,9 @@ import numpy as np
 from ..core.cost import COST_TABLE, GAP_EXTENSION, GAP_GAP, GAP_OPEN
 from ..core.problem import Problem
 from ..heuristic.hpair import HPairHeuristic
+from ..utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
 
 INF = np.int32(2**30)
 _EMPTY_WORD = np.uint32(0xFFFFFFFF)
@@ -506,9 +509,9 @@ class TpuFrontierSearch:
             lattice = 1
             for L in problem.final_coord:
                 lattice *= int(L) + 1
-                if lattice > (1 << 26):
+                if lattice > (1 << 27):
                     break
-            capacity = min(1 << 23, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 23))))
+            capacity = min(1 << 24, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 24))))
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
         self.hash_type = hash_type
