@@ -33,6 +33,8 @@ def make_parser() -> argparse.ArgumentParser:
         prog="msa_pastar",
         description="TPU-native parallel A* multiple sequence alignment",
     )
+    ap.add_argument("-v", "--version", action="version",
+                    version="msa_pastar_tpu 0.1.0")
     ap.add_argument("fasta", help="input FASTA file")
     ap.add_argument("-t", "--threads", type=int, default=0,
                     help="shard count (0 = one per device)")
