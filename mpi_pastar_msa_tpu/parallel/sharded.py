@@ -117,7 +117,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
     goal_owner_np = int(own(st.final_np[None, :])[0])
     root_h = None  # filled by caller closure via init args
 
-    def device_fn(root_h_arr, max_steps):
+    def device_fn(root_h_arr, max_steps, ub):
         dev = jax.lax.axis_index(AXIS)
         C, W = st.C, st.W
         t_key = jnp.full((C, W), _EMPTY_WORD, dtype=jnp.uint32)
@@ -149,6 +149,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
             keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
                 st, coords, g, par, active
             )
+            valid = valid & (f_c <= ub[0])  # admissible UB pruning
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
             rk, rg, rf, rm, rvalid = _route(
                 st, ndev, own, child, keys, g_c, f_c, mask_c, valid
@@ -174,7 +175,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
     spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
     fn = jax.shard_map(
         device_fn, mesh=mesh,
-        in_specs=(P(None), P(None)),
+        in_specs=(P(None), P(None), P(None)),
         out_specs=spec_tab + (P(None),),
         check_vma=False,
     )
@@ -279,7 +280,16 @@ class ShardedFrontierSearch:
         st = self.st
         root_h = np.array([self.heuristic.calculate_h(np.zeros(st.n, np.int32))],
                           dtype=np.int32)
-        out = self._run(jnp.asarray(root_h), jnp.asarray([self.max_steps]))
+        from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
+
+        if _O == _E:
+            from ..search.bounds import greedy_upper_bound
+
+            ub = greedy_upper_bound(self.problem, self.heuristic, beam=32)
+        else:
+            ub = int(INF)
+        out = self._run(jnp.asarray(root_h), jnp.asarray([self.max_steps]),
+                        jnp.asarray([np.int32(ub)]))
         tab, stats = out[:5], out[5]
         goal_v, fmin_v, steps, expanded, reopen, n_open, ovf = (
             int(v) for v in np.asarray(stats)

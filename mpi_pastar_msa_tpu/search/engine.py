@@ -418,7 +418,7 @@ def _make_run_loop(st: _Static):
     """
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_loop(tab, max_steps):
+    def run_loop(tab, max_steps, ub):
         def cond(carry):
             tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = carry
             return (fmin < goal_g) & (steps < max_steps) & (overflow == 0)
@@ -427,6 +427,10 @@ def _make_run_loop(st: _Static):
             tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = carry
             tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
             keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
+            # upper-bound pruning: with admissible h, no optimal-path node has
+            # f > UB (a complete-path cost), so dropping them keeps optimality
+            # while capping the frontier flood at best-first levels
+            valid = valid & (f_c <= ub)
             goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
             tab, reopen_ct, ovf = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
             return (tab, goal_g, fmin, steps + 1,
@@ -542,8 +546,16 @@ class TpuFrontierSearch:
 
     def run(self) -> TpuSearchResult:
         st = self.st
+        from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
+
+        if _O == _E:
+            from .bounds import greedy_upper_bound
+
+            ub = greedy_upper_bound(self.problem, self.heuristic, beam=32)
+        else:
+            ub = int(INF)  # greedy bound assumes O == E; disable pruning
         tab = self._init_table()
-        tab, stats = self._run_loop(tab, jnp.asarray(self.max_steps))
+        tab, stats = self._run_loop(tab, jnp.asarray(self.max_steps), jnp.asarray(np.int32(ub)))
         goal_v, fmin_v, steps, total_expanded, total_reopen, last_n_open, overflow = (
             int(v) for v in np.asarray(stats)
         )

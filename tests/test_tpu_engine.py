@@ -111,7 +111,9 @@ class TestEngineEndToEnd:
         assert res.g == want
 
     def test_overflow_detection(self):
-        p = Problem(("ABCD" * 4, "BCDA" * 4, "CDAB" * 4))
+        # PF08184's optimal path alone has ~177 nodes; a 32-slot table must
+        # report overflow rather than silently losing states
+        p = problem_from_fasta(f"{REF}/PF08184.fasta")
         h = HPairHeuristic.build(p)
         with pytest.raises(RuntimeError, match="overflow|capacity"):
-            E.TpuFrontierSearch(p, h, batch=512, capacity=1 << 6).run()
+            E.TpuFrontierSearch(p, h, batch=64, capacity=1 << 5).run()
