@@ -155,13 +155,15 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
                 st, ndev, own, child, keys, g_c, f_c, mask_c, valid
             )
             tab, reopen_ct, ovf_l = _insert(st, tab, rk, rg, rf, rm, rvalid)
-            # global consensus (the two MPI_Allreduce analogues)
+            # global consensus (the two MPI_Allreduce analogues,
+            # ref: pastar/PAStar.cpp:502-519); counters stay shard-local for
+            # the per-tid stats table (ref: pastar/PAStar.cpp:591-619)
             goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
             fmin_g = jax.lax.pmin(fmin_l, AXIS)
             return (tab, goal_g, fmin_g, steps + 1,
-                    expanded + jax.lax.psum(jnp.sum(active), AXIS),
-                    reopen + jax.lax.psum(reopen_ct, AXIS),
-                    jax.lax.psum(n_open_l, AXIS),
+                    expanded + jnp.sum(active),
+                    reopen + reopen_ct,
+                    n_open_l,
                     ovf + jax.lax.psum(ovf_l, AXIS))
 
         z32 = jnp.asarray(np.int32(0))
@@ -169,14 +171,16 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf = (
             jax.lax.while_loop(cond, body, init)
         )
-        stats = jnp.stack([goal_g, fmin_g, steps, expanded, reopen, n_open, ovf])
-        return tab + (stats,)
+        closed_ct = jnp.sum(tab[4] == 2).astype(jnp.int32)
+        stats = jnp.stack([goal_g, fmin_g, steps, ovf])
+        shard_stats = jnp.stack([expanded, reopen, closed_ct, n_open])  # (4,)
+        return tab + (stats, shard_stats)
 
     spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
     fn = jax.shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(None), P(None), P(None)),
-        out_specs=spec_tab + (P(None),),
+        out_specs=spec_tab + (P(None), P(AXIS)),
         check_vma=False,
     )
     return jax.jit(fn), goal_owner_np
@@ -290,10 +294,12 @@ class ShardedFrontierSearch:
             ub = int(INF)
         out = self._run(jnp.asarray(root_h), jnp.asarray([self.max_steps]),
                         jnp.asarray([np.int32(ub)]))
-        tab, stats = out[:5], out[5]
-        goal_v, fmin_v, steps, expanded, reopen, n_open, ovf = (
-            int(v) for v in np.asarray(stats)
-        )
+        tab, stats, shard_stats = out[:5], out[5], out[6]
+        goal_v, fmin_v, steps, ovf = (int(v) for v in np.asarray(stats))
+        per_shard = np.asarray(shard_stats).reshape(self.ndev, 4)
+        expanded = int(per_shard[:, 0].sum())
+        reopen = int(per_shard[:, 1].sum())
+        n_open = int(per_shard[:, 3].sum())
         if ovf > 0:
             raise RuntimeError(
                 f"shard hash table overflow (per-shard capacity {st.C}); "
@@ -322,11 +328,9 @@ class ShardedFrontierSearch:
             coord = tuple(coord[i] - ((mv >> i) & 1) for i in range(st.n))
 
         h_goal = self.heuristic.calculate_h(st.final_np)
-        per_shard = max(1, expanded // self.ndev)
         return ShardedSearchResult(
             g=goal_v, h=h_goal, f=goal_v + h_goal, closed=closed,
             nodes_expanded=expanded, nodes_reopened=reopen,
             open_size=n_open, steps=steps,
-            shard_stats=[(per_shard, reopen // self.ndev, per_shard, n_open // self.ndev)
-                         for _ in range(self.ndev)],
+            shard_stats=[tuple(int(v) for v in row) for row in per_shard],
         )
