@@ -52,6 +52,8 @@ def make_parser() -> argparse.ArgumentParser:
                     help="JAX platform to take devices from (e.g. tpu, cpu)")
     ap.add_argument("--width", type=int, default=None,
                     help="alignment print width (default: terminal width)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of Phase 2 into DIR")
     return ap
 
 
@@ -76,14 +78,14 @@ def run(argv=None) -> int:
     if engine == "serial":
         from .search.serial import SerialAStar
 
-        with TimeCounter("Phase 2: A-Star running time: "):
+        with TimeCounter("Phase 2: A-Star running time: ") as t2:
             res = SerialAStar(problem, heuristic).run()
         closed = res.closed
         stats = [(res.nodes_expanded, res.nodes_reopened, len(res.closed), res.open_size)]
     elif engine == "native":
         from .search.native import NativeAStar
 
-        with TimeCounter("Phase 2: A-Star running time: "):
+        with TimeCounter("Phase 2: A-Star running time: ") as t2:
             res = NativeAStar(problem, heuristic).run()
         closed = res.closed
         stats = [(res.nodes_expanded, res.nodes_reopened, len(res.closed), res.open_size)]
@@ -94,7 +96,9 @@ def run(argv=None) -> int:
         all_devs = jax.devices(args.platform) if args.platform else jax.devices()
         if args.platform:
             jax.config.update("jax_default_device", all_devs[0])
-        with TimeCounter("Phase 2: PA-Star running time: "):
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
+        with TimeCounter("Phase 2: PA-Star running time: ") as t2:
             if n_dev > 1:
                 from .parallel.sharded import ShardedFrontierSearch
 
@@ -109,6 +113,9 @@ def run(argv=None) -> int:
                                         hash_type=args.hash_type,
                                         hash_shift=args.hash_shift)
             res = eng.run()
+        if args.profile:
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {args.profile}")
         closed = res.closed
         stats = res.shard_stats
 
@@ -131,6 +138,8 @@ def run(argv=None) -> int:
         print(f"tid {tid}\texpanded {exp}\treopened {reopen}\tclosed {closed_n}\topen {open_n}")
     print(f"total\texpanded {total_exp}\treopened {total_reopen}"
           f"\tclosed {total_closed}\topen {total_open}")
+    if t2.elapsed > 0:
+        print(f"throughput: {total_exp / t2.elapsed:.0f} nodes expanded/s")
     return 0
 
 

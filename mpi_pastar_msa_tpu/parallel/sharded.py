@@ -117,7 +117,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
     goal_owner_np = int(own(st.final_np[None, :])[0])
     root_h = None  # filled by caller closure via init args
 
-    def device_fn(root_h_arr, max_steps, ub):
+    def init_fn(root_h_arr):
         dev = jax.lax.axis_index(AXIS)
         C, W = st.C, st.W
         t_key = jnp.full((C, W), _EMPTY_WORD, dtype=jnp.uint32)
@@ -137,14 +137,20 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         t_f = t_f.at[wslot].set(root_h_arr[0], mode="drop")
         t_par = t_par.at[wslot].set((1 << st.n) - 1, mode="drop")
         t_state = t_state.at[wslot].set(1, mode="drop")
+        return t_key, t_g, t_f, t_par, t_state
+
+    def chunk_fn(t_key, t_g, t_f, t_par, t_state, counters, shard_ctr,
+                 chunk_steps, ub):
         tab = (t_key, t_g, t_f, t_par, t_state)
+        goal0, steps0 = counters[0], counters[2]
+        exp0, reop0 = shard_ctr[0], shard_ctr[1]
 
         def cond(carry):
-            _, goal_g, fmin_g, steps, _, _, _, ovf = carry
-            return (fmin_g < goal_g) & (steps < max_steps[0]) & (ovf == 0)
+            _, goal_g, fmin_g, steps, _, _, _, ovf, local = carry
+            return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf = carry
+            tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, local = carry
             tab, coords, g, par, active, fmin_l, n_open_l = _select(st, tab, goal_g)
             keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
                 st, coords, g, par, active
@@ -164,11 +170,11 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open_l,
-                    ovf + jax.lax.psum(ovf_l, AXIS))
+                    ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, jnp.asarray(INF), z32, z32, z32, z32, z32, z32)
-        tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf = (
+        init = (tab, goal0, z32, steps0, exp0, reop0, z32, z32, z32)
+        tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, _ = (
             jax.lax.while_loop(cond, body, init)
         )
         closed_ct = jnp.sum(tab[4] == 2).astype(jnp.int32)
@@ -177,13 +183,17 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         return tab + (stats, shard_stats)
 
     spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
-    fn = jax.shard_map(
-        device_fn, mesh=mesh,
-        in_specs=(P(None), P(None), P(None)),
+    init_jit = jax.jit(jax.shard_map(
+        init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
+        check_vma=False,
+    ))
+    chunk_jit = jax.jit(jax.shard_map(
+        chunk_fn, mesh=mesh,
+        in_specs=spec_tab + (P(None), P(AXIS), P(None), P(None)),
         out_specs=spec_tab + (P(None), P(AXIS)),
         check_vma=False,
-    )
-    return jax.jit(fn), goal_owner_np
+    ), donate_argnums=(0, 1, 2, 3, 4))
+    return init_jit, chunk_jit, goal_owner_np
 
 
 def _make_sharded_walk(st: _Static, mesh: Mesh, ndev: int):
@@ -251,7 +261,7 @@ class ShardedFrontierSearch:
     def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
                  devices=None, hash_type: str = "FZORDER", hash_shift: int = 12,
                  batch: Optional[int] = None, capacity: Optional[int] = None,
-                 max_steps: int = 500_000):
+                 max_steps: int = 500_000, chunk_steps: int = 256):
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         if devices is None:
@@ -273,9 +283,10 @@ class ShardedFrontierSearch:
             capacity = 1 << (per_dev - 1).bit_length()
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
+        self.chunk_steps = chunk_steps
         self.hash_type = hash_type
         self.hash_shift = hash_shift
-        self._run, self._goal_owner = _make_sharded_run(
+        self._init, self._chunk, self._goal_owner = _make_sharded_run(
             self.st, self.mesh, self.ndev, hash_type, hash_shift
         )
         self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
@@ -292,11 +303,20 @@ class ShardedFrontierSearch:
             ub = greedy_upper_bound(self.problem, self.heuristic, beam=32)
         else:
             ub = int(INF)
-        out = self._run(jnp.asarray(root_h), jnp.asarray([self.max_steps]),
-                        jnp.asarray([np.int32(ub)]))
-        tab, stats, shard_stats = out[:5], out[5], out[6]
-        goal_v, fmin_v, steps, ovf = (int(v) for v in np.asarray(stats))
-        per_shard = np.asarray(shard_stats).reshape(self.ndev, 4)
+        tab = self._init(jnp.asarray(root_h))
+        counters = jnp.asarray(np.array([INF, 0, 0, 0], dtype=np.int32))
+        shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
+        chunk = jnp.asarray([np.int32(self.chunk_steps)])
+        ub_dev = jnp.asarray([np.int32(ub)])
+        while True:
+            out = self._chunk(*tab, counters, shard_ctr, chunk, ub_dev)
+            tab, counters, shard_ctr = out[:5], out[5], out[6]
+            stats_np = np.asarray(counters)
+            goal_v, fmin_v, steps, ovf = (int(v) for v in stats_np)
+            counters = jnp.asarray(stats_np)
+            if fmin_v >= goal_v or ovf > 0 or steps >= self.max_steps:
+                break
+        per_shard = np.asarray(shard_ctr).reshape(self.ndev, 4)
         expanded = int(per_shard[:, 0].sum())
         reopen = int(per_shard[:, 1].sum())
         n_open = int(per_shard[:, 3].sum())

@@ -407,24 +407,31 @@ def _make_step(st: _Static):
 
 
 def _make_run_loop(st: _Static):
-    """Whole-search-on-device driver: ONE dispatch, one final transfer.
+    """Chunked on-device search driver.
 
-    The host loop version pays a device<->host round trip per super-step —
-    ruinous over a remote-TPU tunnel.  Here the reference's worker/check_stop
-    loop (ref: pastar/PAStar.cpp:551-567) collapses into a single on-device
-    ``lax.while_loop`` whose exit condition IS the termination consensus:
-    stop when min_f(open) >= g(goal candidate), open exhaustion, table
-    overflow, or the step cap.
+    A host round trip per super-step is ruinous over a remote-TPU tunnel, but
+    one unbounded on-device loop trips multi-minute kernel watchdogs (observed
+    as "TPU worker crashed" on kinase-scale searches).  Middle ground: the
+    reference's worker/check_stop loop (ref: pastar/PAStar.cpp:551-567) runs
+    as an on-device ``lax.while_loop`` bounded to a CHUNK of super-steps per
+    dispatch; the host re-dispatches until the termination consensus
+    (min_f(open) >= g(goal), open exhaustion, overflow) fires.  Host syncs are
+    amortised over the chunk (1 small transfer / chunk).
     """
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_loop(tab, max_steps, ub):
+    def run_chunk(tab, counters, chunk_steps, ub):
+        goal_g0, _, steps0, expanded0, reopen0, n_open0, overflow0 = (
+            counters[0], counters[1], counters[2], counters[3],
+            counters[4], counters[5], counters[6],
+        )
+
         def cond(carry):
-            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = carry
-            return (fmin < goal_g) & (steps < max_steps) & (overflow == 0)
+            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
+            return (fmin < goal_g) & (local < chunk_steps) & (overflow == 0)
 
         def body(carry):
-            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = carry
+            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
             tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
             keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
             # upper-bound pruning: with admissible h, no optimal-path node has
@@ -436,18 +443,17 @@ def _make_run_loop(st: _Static):
             return (tab, goal_g, fmin, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
-                    n_open, overflow + ovf)
+                    n_open, overflow + ovf, local + 1)
 
-        init = (tab, jnp.asarray(INF), jnp.asarray(np.int32(0)), jnp.asarray(0),
-                jnp.asarray(np.int32(0)), jnp.asarray(np.int32(0)),
-                jnp.asarray(np.int32(0)), jnp.asarray(np.int32(0)))
-        tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow = (
+        init = (tab, goal_g0, jnp.asarray(np.int32(0)), steps0,
+                expanded0, reopen0, n_open0, overflow0, jnp.asarray(np.int32(0)))
+        tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = (
             jax.lax.while_loop(cond, body, init)
         )
-        stats = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
-        return tab, stats
+        counters = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
+        return tab, counters
 
-    return run_loop
+    return run_chunk
 
 
 def _make_backtrace(st: _Static):
@@ -502,7 +508,8 @@ class TpuFrontierSearch:
     def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
                  n_devices: Optional[int] = None, hash_type: str = "FZORDER",
                  hash_shift: int = 12, batch: Optional[int] = None,
-                 capacity: Optional[int] = None, max_steps: int = 1_000_000):
+                 capacity: Optional[int] = None, max_steps: int = 1_000_000,
+                 chunk_steps: int = 256):
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         n = problem.n_seq
@@ -518,6 +525,7 @@ class TpuFrontierSearch:
             capacity = min(1 << 24, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 24))))
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
+        self.chunk_steps = chunk_steps
         self.hash_type = hash_type
         self.hash_shift = hash_shift
         self._step = _make_step(self.st)
@@ -555,10 +563,19 @@ class TpuFrontierSearch:
         else:
             ub = int(INF)  # greedy bound assumes O == E; disable pruning
         tab = self._init_table()
-        tab, stats = self._run_loop(tab, jnp.asarray(self.max_steps), jnp.asarray(np.int32(ub)))
-        goal_v, fmin_v, steps, total_expanded, total_reopen, last_n_open, overflow = (
-            int(v) for v in np.asarray(stats)
+        counters = jnp.asarray(
+            np.array([INF, 0, 0, 0, 0, 0, 0], dtype=np.int32)
         )
+        ub_dev = jnp.asarray(np.int32(ub))
+        chunk = jnp.asarray(np.int32(self.chunk_steps))
+        while True:
+            tab, counters = self._run_loop(tab, counters, chunk, ub_dev)
+            stats_np = np.asarray(counters)  # 1 small transfer per chunk
+            goal_v, fmin_v, steps, total_expanded, total_reopen, last_n_open, overflow = (
+                int(v) for v in stats_np
+            )
+            if fmin_v >= goal_v or overflow > 0 or steps >= self.max_steps:
+                break
         if overflow > 0:
             raise RuntimeError(
                 f"hash table overflow after {steps} steps "
