@@ -41,3 +41,28 @@ class TestWavefrontParity:
             assert np.array_equal(a, b)
         c = (3, 17, 42)
         assert hh.calculate_h(c) == hd.calculate_h(c)
+
+
+class TestPallasKernel:
+    def test_interpret_tiny(self):
+        p = Problem(("ACDEF", "ACF", "CDE"))
+        from mpi_pastar_msa_tpu.heuristic.wavefront_pallas import pair_tables_pallas
+
+        host = all_pair_tables(p.seqs)
+        dev = pair_tables_pallas(p, interpret=True)
+        for k, t in enumerate(host):
+            assert np.array_equal(dev[k, : t.shape[0], : t.shape[1]], t), k
+
+    def test_interpret_unequal(self):
+        random.seed(31)
+        seqs = tuple(
+            "".join(random.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(random.randint(2, 15)))
+            for _ in range(4)
+        )
+        p = Problem(seqs)
+        from mpi_pastar_msa_tpu.heuristic.wavefront_pallas import pair_tables_pallas
+
+        host = all_pair_tables(p.seqs)
+        dev = pair_tables_pallas(p, interpret=True)
+        for k, t in enumerate(host):
+            assert np.array_equal(dev[k, : t.shape[0], : t.shape[1]], t), k
