@@ -145,12 +145,14 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         goal0, steps0 = counters[0], counters[2]
         exp0, reop0 = shard_ctr[0], shard_ctr[1]
 
+        claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+
         def cond(carry):
-            _, goal_g, fmin_g, steps, _, _, _, ovf, local = carry
+            _, _, goal_g, fmin_g, steps, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, local = carry
+            tab, claim, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, local = carry
             tab, coords, g, par, active, fmin_l, n_open_l = _select(st, tab, goal_g)
             keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
                 st, coords, g, par, active
@@ -160,21 +162,24 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
             rk, rg, rf, rm, rvalid = _route(
                 st, ndev, own, child, keys, g_c, f_c, mask_c, valid
             )
-            tab, reopen_ct, ovf_l = _insert(st, tab, rk, rg, rf, rm, rvalid)
+            tab, reopen_ct, ovf_l, claim = _insert(
+                st, tab, rk, rg, rf, rm, rvalid,
+                claim=claim, step_tag=local.astype(jnp.uint32),
+            )
             # global consensus (the two MPI_Allreduce analogues,
             # ref: pastar/PAStar.cpp:502-519); counters stay shard-local for
             # the per-tid stats table (ref: pastar/PAStar.cpp:591-619)
             goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
             fmin_g = jax.lax.pmin(fmin_l, AXIS)
-            return (tab, goal_g, fmin_g, steps + 1,
+            return (tab, claim, goal_g, fmin_g, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open_l,
                     ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, goal0, z32, steps0, exp0, reop0, z32, z32, z32)
-        tab, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, _ = (
+        init = (tab, claim0, goal0, z32, steps0, exp0, reop0, z32, z32, z32)
+        tab, _, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, _ = (
             jax.lax.while_loop(cond, body, init)
         )
         closed_ct = jnp.sum(tab[4] == 2).astype(jnp.int32)

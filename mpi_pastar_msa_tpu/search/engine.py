@@ -277,16 +277,28 @@ def _expand(st: _Static, coords, g, parenti, active):
     )
 
 
-def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid):
-    """Batch insert with decrease-key/reopen. Returns (tab, reopen_ct, overflow)."""
+def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid,
+            claim=None, step_tag=None):
+    """Batch insert with decrease-key/reopen. Returns (tab, reopen_ct, overflow,
+    claim).
+
+    ``claim`` is the claim-resolution scratch array ((C,) uint32, sentinel
+    0xFFFFFFFF).  Passing it in (with a per-step-unique ``step_tag``) lets a
+    chunk loop reuse one allocation instead of paying an O(C) re-init every
+    step; tags are ``(step_tag*R + r)*L + idx`` so stale entries from earlier
+    steps in the same chunk can never be mistaken for this step's claims.
+    """
     t_key, t_g, t_f, t_par, t_state = tab
     C = st.C
     Cmask = np.uint32(C - 1)
     L = keys.shape[0]
     h0 = _hash_keys(keys)
 
-    claim = jnp.full((C,), -1, dtype=jnp.int32)
-    idx_vec = jnp.arange(L, dtype=jnp.int32)
+    if claim is None:
+        claim = jnp.full((C,), _EMPTY_WORD, dtype=jnp.uint32)
+    if step_tag is None:
+        step_tag = jnp.uint32(0)
+    idx_vec = jnp.arange(L, dtype=jnp.uint32)
 
     def cond(carry):
         r, done, _, _, _, _ = carry
@@ -301,8 +313,8 @@ def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid):
         match = jnp.all(k_at == keys, axis=1) & st_occ & ~done
         empty = ~st_occ & ~done
 
-        # claim empties: tag = r*L + idx, unique within this step
-        tag = r * L + idx_vec
+        # claim empties: tag unique within this chunk's claim-array lifetime
+        tag = (step_tag * np.uint32(st.max_probes) + r.astype(jnp.uint32)) * np.uint32(L) + idx_vec
         claim = claim.at[jnp.where(empty, probe_slot, C)].set(tag, mode="drop")
         won = empty & (claim[jnp.clip(slot, 0, C - 1)] == tag)
         # winners write their key (occupying the slot)
@@ -342,7 +354,7 @@ def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid):
     t_f = t_f.at[slot_ww].set(f_new, mode="drop")
     t_state = t_state.at[slot_i].set(jnp.int32(1), mode="drop")
     reopen_ct = jnp.sum(improve & (state_before == 2))
-    return (t_key, t_g, t_f, t_par, t_state), reopen_ct, overflow
+    return (t_key, t_g, t_f, t_par, t_state), reopen_ct, overflow, claim
 
 
 def _select(st: _Static, tab, goal_g):
@@ -397,7 +409,7 @@ def _make_step(st: _Static):
         tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
         keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
-        tab, reopen_ct, overflow = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
+        tab, reopen_ct, overflow, _ = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
         expanded = jnp.sum(active)
         # single packed scalar vector -> one host transfer per step
         stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
@@ -426,12 +438,14 @@ def _make_run_loop(st: _Static):
             counters[4], counters[5], counters[6],
         )
 
+        claim0 = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+
         def cond(carry):
-            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
+            tab, claim, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
             return (fmin < goal_g) & (local < chunk_steps) & (overflow == 0)
 
         def body(carry):
-            tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
+            tab, claim, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
             tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
             keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
             # upper-bound pruning: with admissible h, no optimal-path node has
@@ -439,15 +453,18 @@ def _make_run_loop(st: _Static):
             # while capping the frontier flood at best-first levels
             valid = valid & (f_c <= ub)
             goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
-            tab, reopen_ct, ovf = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
-            return (tab, goal_g, fmin, steps + 1,
+            tab, reopen_ct, ovf, claim = _insert(
+                st, tab, keys, g_c, f_c, mask_c, valid,
+                claim=claim, step_tag=local.astype(jnp.uint32),
+            )
+            return (tab, claim, goal_g, fmin, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open, overflow + ovf, local + 1)
 
-        init = (tab, goal_g0, jnp.asarray(np.int32(0)), steps0,
+        init = (tab, claim0, goal_g0, jnp.asarray(np.int32(0)), steps0,
                 expanded0, reopen0, n_open0, overflow0, jnp.asarray(np.int32(0)))
-        tab, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = (
+        tab, _, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = (
             jax.lax.while_loop(cond, body, init)
         )
         counters = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
