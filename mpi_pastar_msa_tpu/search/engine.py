@@ -526,7 +526,7 @@ class TpuFrontierSearch:
                  n_devices: Optional[int] = None, hash_type: str = "FZORDER",
                  hash_shift: int = 12, batch: Optional[int] = None,
                  capacity: Optional[int] = None, max_steps: int = 1_000_000,
-                 chunk_steps: int = 256):
+                 chunk_steps: int = 64, snapshot_every: int = 0):
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         n = problem.n_seq
@@ -543,6 +543,7 @@ class TpuFrontierSearch:
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
         self.chunk_steps = chunk_steps
+        self.snapshot_every = snapshot_every
         self.hash_type = hash_type
         self.hash_shift = hash_shift
         self._step = _make_step(self.st)
@@ -585,9 +586,26 @@ class TpuFrontierSearch:
         )
         ub_dev = jnp.asarray(np.int32(ub))
         chunk = jnp.asarray(np.int32(self.chunk_steps))
+        # fault tolerance: snapshot the search state between chunks so a TPU
+        # worker crash/restart (remote-tunnel flakiness) resumes instead of
+        # restarting — a capability the reference lacks entirely (a failed
+        # rank hangs or kills the job, SURVEY.md §5)
+        snapshot = None
+        chunks_done = 0
         while True:
-            tab, counters = self._run_loop(tab, counters, chunk, ub_dev)
-            stats_np = np.asarray(counters)  # 1 small transfer per chunk
+            try:
+                if self.snapshot_every and chunks_done % self.snapshot_every == 0:
+                    snapshot = tuple(np.asarray(a) for a in tab), np.asarray(counters)
+                tab, counters = self._run_loop(tab, counters, chunk, ub_dev)
+                stats_np = np.asarray(counters)  # 1 small transfer per chunk
+            except Exception as e:  # noqa: BLE001
+                if snapshot is None or "UNAVAILABLE" not in str(e):
+                    raise
+                snap_tab, snap_ctr = snapshot
+                tab = tuple(jnp.asarray(a) for a in snap_tab)
+                counters = jnp.asarray(snap_ctr)
+                continue
+            chunks_done += 1
             goal_v, fmin_v, steps, total_expanded, total_reopen, last_n_open, overflow = (
                 int(v) for v in stats_np
             )
