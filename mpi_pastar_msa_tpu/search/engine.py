@@ -405,9 +405,10 @@ def _select(st: _Static, tab, goal_g):
 
 def _make_step(st: _Static):
     @partial(jax.jit, donate_argnums=(0,))
-    def step(tab, goal_g):
+    def step(tab, goal_g, ub):
         tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
         keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
+        valid = valid & (f_c <= ub)  # admissible UB pruning (see run_chunk)
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
         tab, reopen_ct, overflow, _ = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
         expanded = jnp.sum(active)
@@ -526,7 +527,8 @@ class TpuFrontierSearch:
                  n_devices: Optional[int] = None, hash_type: str = "FZORDER",
                  hash_shift: int = 12, batch: Optional[int] = None,
                  capacity: Optional[int] = None, max_steps: int = 1_000_000,
-                 chunk_steps: int = 64, snapshot_every: int = 0):
+                 chunk_steps: int = 64, snapshot_every: int = 0,
+                 driver: str = "chunked"):
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         n = problem.n_seq
@@ -544,6 +546,7 @@ class TpuFrontierSearch:
         self.max_steps = max_steps
         self.chunk_steps = chunk_steps
         self.snapshot_every = snapshot_every
+        self.driver = driver
         self.hash_type = hash_type
         self.hash_shift = hash_shift
         self._step = _make_step(self.st)
@@ -570,6 +573,36 @@ class TpuFrontierSearch:
         t_state = t_state.at[h0].set(1)
         return (t_key, t_g, t_f, t_par, t_state)
 
+    def _run_host_driver(self, ub: int) -> TpuSearchResult:
+        """Per-step host dispatch: slower (1 RTT/step) but immune to kernel
+        watchdogs and long chunk compiles; used as a fallback driver."""
+        tab = self._init_table()
+        goal_g = jnp.asarray(np.int32(min(ub + 1, int(INF))))
+        ub_dev = jnp.asarray(np.int32(ub))
+        total_expanded = total_reopen = steps = 0
+        last_n_open = 0
+        goal_found = int(INF)
+        while steps < self.max_steps:
+            tab, goal_g, stats = self._step(tab, goal_g, ub_dev)
+            sv = np.asarray(stats)
+            steps += 1
+            goal_found = int(sv[0])
+            fmin_v = int(sv[1])
+            last_n_open = int(sv[2])
+            total_expanded += int(sv[3])
+            total_reopen += int(sv[4])
+            if int(sv[5]) > 0:
+                raise RuntimeError(
+                    f"hash table overflow after {steps} steps "
+                    f"(capacity {self.st.C}); increase capacity"
+                )
+            if fmin_v >= goal_found:
+                break
+        if goal_found > ub:
+            raise RuntimeError("open set exhausted without reaching the goal")
+        return self._finish(tab, goal_found, steps, total_expanded,
+                            total_reopen, last_n_open)
+
     def run(self) -> TpuSearchResult:
         st = self.st
         from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
@@ -580,6 +613,8 @@ class TpuFrontierSearch:
             ub = greedy_upper_bound(self.problem, self.heuristic, beam=32)
         else:
             ub = int(INF)  # greedy bound assumes O == E; disable pruning
+        if self.driver == "host":
+            return self._run_host_driver(ub)
         tab = self._init_table()
         counters = jnp.asarray(
             np.array([INF, 0, 0, 0, 0, 0, 0], dtype=np.int32)
@@ -620,7 +655,12 @@ class TpuFrontierSearch:
             raise RuntimeError("max_steps exceeded")
         if goal_v >= int(INF):
             raise RuntimeError("open set exhausted without reaching the goal")
+        return self._finish(tab, goal_v, steps, total_expanded, total_reopen,
+                            last_n_open)
 
+    def _finish(self, tab, goal_v, steps, total_expanded, total_reopen,
+                last_n_open) -> TpuSearchResult:
+        st = self.st
         # backtrace on device
         final = jnp.asarray(st.final_np)
         masks, coord_fin = self._walk(tab, final)
