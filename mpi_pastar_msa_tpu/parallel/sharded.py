@@ -148,12 +148,12 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
         def cond(carry):
-            _, _, goal_g, fmin_g, steps, _, _, _, ovf, local = carry
+            _, _, goal_g, fmin_g, thr, steps, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, local = carry
-            tab, coords, g, par, active, fmin_l, n_open_l = _select(st, tab, goal_g)
+            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
+            tab, coords, g, par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
                 st, coords, g, par, active
             )
@@ -171,15 +171,18 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
             # the per-tid stats table (ref: pastar/PAStar.cpp:591-619)
             goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
             fmin_g = jax.lax.pmin(fmin_l, AXIS)
-            return (tab, claim, goal_g, fmin_g, steps + 1,
+            from ..search.engine import _adapt_thr
+
+            thr = _adapt_thr(thr, jax.lax.psum(n_sel, AXIS), st.B * ndev)
+            return (tab, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open_l,
                     ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, claim0, goal0, z32, steps0, exp0, reop0, z32, z32, z32)
-        tab, _, goal_g, fmin_g, steps, expanded, reopen, n_open, ovf, _ = (
+        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, z32, z32)
+        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, _ = (
             jax.lax.while_loop(cond, body, init)
         )
         closed_ct = jnp.sum(tab[4] == 2).astype(jnp.int32)
@@ -286,6 +289,8 @@ class ShardedFrontierSearch:
                     break
             per_dev = max(1 << 14, min(1 << 22, lattice * 2 // self.ndev))
             capacity = 1 << (per_dev - 1).bit_length()
+        batch = min(batch, capacity)
+        batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
         self.chunk_steps = chunk_steps

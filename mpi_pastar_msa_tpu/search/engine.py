@@ -357,35 +357,34 @@ def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid,
     return (t_key, t_g, t_f, t_par, t_state), reopen_ct, overflow, claim
 
 
-def _select(st: _Static, tab, goal_g):
-    """Pick up to B lowest-f open slots via f-histogram thresholding.
+def _select(st: _Static, tab, goal_g, thr):
+    """Pick up to B low-f open slots, scatter-free.
 
-    Returns (tab', coords, g, parenti, active, fmin_open, n_open).
+    The table is viewed as B contiguous groups of C/B slots; each group
+    contributes its argmin-f open entry within the adaptive threshold
+    ``f <= fmin + thr`` — all reductions, no C-wide scatter (scatters are the
+    dominant per-step cost on TPU).  The hash spreads open nodes uniformly
+    over groups, so a wide frontier fills most of the batch; a narrow one
+    leaves lanes inactive, and the threshold controller (in the chunk loop)
+    widens ``thr`` when batches under-fill.
+
+    Returns (tab', coords, g, parenti, active, fmin_open, n_open, n_selected).
     """
     t_key, t_g, t_f, t_par, t_state = tab
     C, B = st.C, st.B
+    G = C // B  # group width
     is_open = (t_state == 1) & (t_f < goal_g)  # pruning: f >= goal_g can't improve
     f_open = jnp.where(is_open, t_f, INF)
     fmin = jnp.min(f_open)
     n_open = jnp.sum(is_open)
 
-    d = jnp.clip(f_open - fmin, 0, _HIST_BUCKETS - 1)
-    hist = jnp.zeros((_HIST_BUCKETS,), jnp.int32).at[
-        jnp.where(is_open, d, _HIST_BUCKETS)
-    ].add(1, mode="drop")
-    cum = jnp.cumsum(hist)
-    target = jnp.minimum(n_open, B)
-    thr = jnp.argmax(cum >= target)  # first bucket reaching target
-    thr = jnp.where(cum[-1] < target, _HIST_BUCKETS - 1, thr)
-
-    sel_mask = is_open & (d <= thr)
-    pos = jnp.cumsum(sel_mask.astype(jnp.int32))
-    take = sel_mask & (pos <= B)
-    out_idx = jnp.where(take, pos - 1, B)
-    slots = jnp.full((B,), C, dtype=jnp.int32).at[out_idx].set(
-        jnp.arange(C, dtype=jnp.int32), mode="drop"
-    )
-    active = slots < C
+    thr_f = fmin + thr
+    v = jnp.where(f_open <= thr_f, f_open, INF).reshape(B, G)
+    j = jnp.argmin(v, axis=1)  # (B,)
+    vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
+    slots = jnp.arange(B, dtype=jnp.int32) * G + j.astype(jnp.int32)
+    active = vmin < INF
+    n_selected = jnp.sum(active)
     slot_c = jnp.clip(slots, 0, C - 1)
 
     keys = t_key[slot_c]  # (B, W)
@@ -398,23 +397,35 @@ def _select(st: _Static, tab, goal_g):
     )
     g = t_g[slot_c]
     par = t_par[slot_c]
-    # close the selected entries
+    # close the selected entries (B-sized scatter only)
     t_state = t_state.at[jnp.where(active, slots, C)].set(jnp.int32(2), mode="drop")
-    return (t_key, t_g, t_f, t_par, t_state), coords, g, par, active, fmin, n_open
+    return ((t_key, t_g, t_f, t_par, t_state), coords, g, par, active, fmin,
+            n_open, n_selected)
+
+
+def _adapt_thr(thr, n_selected, B):
+    """Feedback controller for the selection threshold: widen when batches
+    under-fill (frontier spread over many f values), shrink when full
+    (minimise slack-induced reopens)."""
+    widen = n_selected < (B // 2)
+    shrink = n_selected >= (B - B // 8)
+    return jnp.where(widen, thr * 2 + 32,
+                     jnp.where(shrink, thr // 2, thr)).astype(jnp.int32)
 
 
 def _make_step(st: _Static):
     @partial(jax.jit, donate_argnums=(0,))
-    def step(tab, goal_g, ub):
-        tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
+    def step(tab, goal_g, ub, thr):
+        tab, coords, g, par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
         keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
         valid = valid & (f_c <= ub)  # admissible UB pruning (see run_chunk)
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
         tab, reopen_ct, overflow, _ = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
         expanded = jnp.sum(active)
+        thr = _adapt_thr(thr, n_sel, st.B)
         # single packed scalar vector -> one host transfer per step
         stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
-        return tab, goal_g, stats
+        return tab, goal_g, thr, stats
 
     return step
 
@@ -442,12 +453,12 @@ def _make_run_loop(st: _Static):
         claim0 = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
 
         def cond(carry):
-            tab, claim, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
+            tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
             return (fmin < goal_g) & (local < chunk_steps) & (overflow == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = carry
-            tab, coords, g, par, active, fmin, n_open = _select(st, tab, goal_g)
+            tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
+            tab, coords, g, par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
             # upper-bound pruning: with admissible h, no optimal-path node has
             # f > UB (a complete-path cost), so dropping them keeps optimality
@@ -458,14 +469,16 @@ def _make_run_loop(st: _Static):
                 st, tab, keys, g_c, f_c, mask_c, valid,
                 claim=claim, step_tag=local.astype(jnp.uint32),
             )
-            return (tab, claim, goal_g, fmin, steps + 1,
+            thr = _adapt_thr(thr, n_sel, st.B)
+            return (tab, claim, goal_g, fmin, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open, overflow + ovf, local + 1)
 
-        init = (tab, claim0, goal_g0, jnp.asarray(np.int32(0)), steps0,
+        init = (tab, claim0, goal_g0, jnp.asarray(np.int32(0)),
+                jnp.asarray(np.int32(0)), steps0,
                 expanded0, reopen0, n_open0, overflow0, jnp.asarray(np.int32(0)))
-        tab, _, goal_g, fmin, steps, expanded, reopen, n_open, overflow, local = (
+        tab, _, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = (
             jax.lax.while_loop(cond, body, init)
         )
         counters = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
@@ -542,6 +555,8 @@ class TpuFrontierSearch:
                 if lattice > (1 << 27):
                     break
             capacity = min(1 << 24, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 24))))
+        batch = min(batch, capacity)
+        batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
         self.chunk_steps = chunk_steps
@@ -579,11 +594,12 @@ class TpuFrontierSearch:
         tab = self._init_table()
         goal_g = jnp.asarray(np.int32(min(ub + 1, int(INF))))
         ub_dev = jnp.asarray(np.int32(ub))
+        thr = jnp.asarray(np.int32(0))
         total_expanded = total_reopen = steps = 0
         last_n_open = 0
         goal_found = int(INF)
         while steps < self.max_steps:
-            tab, goal_g, stats = self._step(tab, goal_g, ub_dev)
+            tab, goal_g, thr, stats = self._step(tab, goal_g, ub_dev, thr)
             sv = np.asarray(stats)
             steps += 1
             goal_found = int(sv[0])
