@@ -153,9 +153,9 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
 
         def body(carry):
             tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
-            tab, coords, g, par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
+            tab, coords, g, par, f_par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
-                st, coords, g, par, active
+                st, coords, g, par, active, f_par
             )
             valid = valid & (f_c <= ub[0])  # admissible UB pruning
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))

@@ -191,7 +191,7 @@ def _probe_slot(h0: jnp.ndarray, r, Cmask: np.uint32) -> jnp.ndarray:
     return ((h0 + off) & Cmask).astype(jnp.int32)
 
 
-def _expand(st: _Static, coords, g, parenti, active):
+def _expand(st: _Static, coords, g, parenti, active, f_parent=None):
     """Expand a batch: (B, N) coords -> all-mask successor candidates.
 
     Returns flat (B*M,) candidate arrays: keys (B*M, W), g, f, move mask, valid.
@@ -261,6 +261,12 @@ def _expand(st: _Static, coords, g, parenti, active):
 
     g_child = g[:, None] + cost
     f_child = g_child + h
+    if f_parent is not None:
+        # pathmax: with an inconsistent heuristic, a child's f may dip below
+        # its parent's; max-ing keeps f monotone along paths (still a valid
+        # lower bound on any completion), which stabilises the selection
+        # order and curbs slack-induced reopening
+        f_child = jnp.maximum(f_child, f_parent[:, None])
     mask_id = jnp.arange(1, M + 1, dtype=jnp.int32)[None, :].repeat(B, 0)
 
     keys = _pack_keys(child, st.W).reshape(B * M, st.W)
@@ -397,10 +403,11 @@ def _select(st: _Static, tab, goal_g, thr):
     )
     g = t_g[slot_c]
     par = t_par[slot_c]
+    f_par = t_f[slot_c]
     # close the selected entries (B-sized scatter only)
     t_state = t_state.at[jnp.where(active, slots, C)].set(jnp.int32(2), mode="drop")
-    return ((t_key, t_g, t_f, t_par, t_state), coords, g, par, active, fmin,
-            n_open, n_selected)
+    return ((t_key, t_g, t_f, t_par, t_state), coords, g, par, f_par, active,
+            fmin, n_open, n_selected)
 
 
 def _adapt_thr(thr, n_selected, B):
@@ -416,8 +423,8 @@ def _adapt_thr(thr, n_selected, B):
 def _make_step(st: _Static):
     @partial(jax.jit, donate_argnums=(0,))
     def step(tab, goal_g, ub, thr):
-        tab, coords, g, par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
-        keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
+        tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
+        keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par)
         valid = valid & (f_c <= ub)  # admissible UB pruning (see run_chunk)
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
         tab, reopen_ct, overflow, _ = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
@@ -458,8 +465,8 @@ def _make_run_loop(st: _Static):
 
         def body(carry):
             tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
-            tab, coords, g, par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
-            keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active)
+            tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
+            keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par)
             # upper-bound pruning: with admissible h, no optimal-path node has
             # f > UB (a complete-path cost), so dropping them keeps optimality
             # while capping the frontier flood at best-first levels
