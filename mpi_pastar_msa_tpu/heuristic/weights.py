@@ -25,7 +25,7 @@ The runtime weight used by both g and h is the float truncated to int
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

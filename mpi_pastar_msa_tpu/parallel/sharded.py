@@ -27,13 +27,13 @@ the reference's token-passing FSM (ref: PAStarDistributedBacktrace.cpp).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.problem import Problem
 from ..heuristic.hpair import HPairHeuristic

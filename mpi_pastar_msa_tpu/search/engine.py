@@ -37,7 +37,7 @@ exact.
 """
 from __future__ import annotations
 
-import math
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Tuple
