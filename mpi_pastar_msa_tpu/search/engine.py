@@ -760,19 +760,30 @@ class TpuFrontierSearch:
             np.array([INF, 0, 0, 0, 0, 0, 0], dtype=np.int32)
         )
         ub_dev = jnp.asarray(np.int32(ub))
-        chunk = jnp.asarray(np.int32(self.chunk_steps))
+
         # fault tolerance: snapshot the search state between chunks so a TPU
         # worker crash/restart (remote-tunnel flakiness) resumes instead of
         # restarting — a capability the reference lacks entirely (a failed
         # rank hangs or kills the job, SURVEY.md §5)
         snapshot = None
         chunks_done = 0
+        chunk_now = self.chunk_steps
+        import time as _time
         while True:
             try:
                 if self.snapshot_every and chunks_done % self.snapshot_every == 0:
                     snapshot = tuple(np.asarray(a) for a in tab), np.asarray(counters)
-                tab, counters = self._run_loop(tab, counters, chunk, ub_dev)
+                _t0 = _time.perf_counter()
+                tab, counters = self._run_loop(
+                    tab, counters, jnp.asarray(np.int32(chunk_now)), ub_dev
+                )
                 stats_np = np.asarray(counters)  # 1 small transfer per chunk
+                _dt = _time.perf_counter() - _t0
+                # keep each dispatch well under the remote-worker watchdog
+                if _dt > 20 and chunk_now > 8:
+                    chunk_now = max(8, chunk_now // 2)
+                elif _dt < 5 and chunk_now < self.chunk_steps:
+                    chunk_now *= 2
             except Exception as e:  # noqa: BLE001
                 if snapshot is None or "UNAVAILABLE" not in str(e):
                     raise
