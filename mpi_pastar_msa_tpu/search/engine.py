@@ -750,7 +750,10 @@ class TpuFrontierSearch:
         if _O == _E:
             from .bounds import greedy_upper_bound
 
-            ub = greedy_upper_bound(self.problem, self.heuristic, beam=32)
+            # wider beams tighten the bound; on big searches every unit of UB
+            # slack admits a shell of extra open nodes, so spend more there
+            beam = 256 if self.st.C >= (1 << 22) else 32
+            ub = greedy_upper_bound(self.problem, self.heuristic, beam=beam)
         else:
             ub = int(INF)  # greedy bound assumes O == E; disable pruning
         if self.driver == "host":
