@@ -13,11 +13,14 @@ fails or JAX is unavailable, the native result is reported with
 vs_baseline=1.0 so the driver always gets its JSON line.
 """
 import json
+import os
 import sys
 import time
 
 INPUT = "/root/reference/PF08184.fasta"
 WANT_G = 24450
+KINASE = "/root/reference/kinase.fasta"
+KINASE_G = 421546
 
 
 def main() -> None:
@@ -51,6 +54,33 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"tpu bench failed ({e}); reporting native baseline", file=sys.stderr)
 
+    kinase_extra = {}
+    if os.environ.get("MSA_BENCH_KINASE"):
+        try:
+            kp = problem_from_fasta(KINASE)
+            kh = HPairHeuristic.build(kp)
+            knat = NativeAStar(kp, kh, init_capacity=1 << 22)
+            t0 = time.perf_counter()
+            knr = knat.run()
+            k_native_wall = time.perf_counter() - t0
+            assert knr.g == KINASE_G
+            from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
+
+            keng = TpuFrontierSearch(kp, kh, capacity=1 << 24, batch=8192,
+                                     chunk_steps=64)
+            kr = keng.run()  # includes compile
+            assert kr.g == KINASE_G
+            t0 = time.perf_counter()
+            kr = keng.run()
+            k_tpu_wall = time.perf_counter() - t0
+            kinase_extra = {
+                "kinase_tpu_wall_s": round(k_tpu_wall, 2),
+                "kinase_native_wall_s": round(k_native_wall, 2),
+                "kinase_tpu_nodes_per_sec": round(kr.nodes_expanded / k_tpu_wall),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"kinase bench failed ({e})", file=sys.stderr)
+
     if tpu_wall is not None:
         print(json.dumps({
             "metric": "pf08184_wallclock_to_optimal_tpu",
@@ -59,7 +89,8 @@ def main() -> None:
             "vs_baseline": round(native_wall / tpu_wall, 3),
             "extra": {"nodes_expanded": nodes,
                       "nodes_per_sec": round(nodes / tpu_wall),
-                      "native_wall_s": round(native_wall, 4)},
+                      "native_wall_s": round(native_wall, 4),
+                      **kinase_extra},
         }))
     else:
         print(json.dumps({

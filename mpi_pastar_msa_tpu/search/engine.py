@@ -671,7 +671,7 @@ class TpuFrontierSearch:
         n = problem.n_seq
         M = (1 << n) - 1
         if batch is None:
-            batch = max(64, min(4096, (1 << 19) // M))
+            batch = max(64, min(8192, (1 << 19) // M))
         if capacity is None:
             lattice = 1
             for L in problem.final_coord:
