@@ -54,6 +54,12 @@ def make_parser() -> argparse.ArgumentParser:
                     help="alignment print width (default: terminal width)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of Phase 2 into DIR")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="frontier batch size (default: auto)")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="hash-table capacity (default: auto)")
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="super-steps per device dispatch")
     return ap
 
 
@@ -105,13 +111,19 @@ def run(argv=None) -> int:
                 devs = all_devs[:n_dev]
                 eng = ShardedFrontierSearch(problem, heuristic, devices=devs,
                                             hash_type=args.hash_type,
-                                            hash_shift=args.hash_shift)
+                                            hash_shift=args.hash_shift,
+                                            batch=args.batch,
+                                            capacity=args.capacity,
+                                            chunk_steps=args.chunk)
             else:
                 from .search.engine import TpuFrontierSearch
 
                 eng = TpuFrontierSearch(problem, heuristic,
                                         hash_type=args.hash_type,
-                                        hash_shift=args.hash_shift)
+                                        hash_shift=args.hash_shift,
+                                        batch=args.batch,
+                                        capacity=args.capacity,
+                                        chunk_steps=args.chunk)
             res = eng.run()
         if args.profile:
             jax.profiler.stop_trace()

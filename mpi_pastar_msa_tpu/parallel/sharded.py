@@ -316,12 +316,21 @@ class ShardedFrontierSearch:
         tab = self._init(jnp.asarray(root_h))
         counters = jnp.asarray(np.array([INF, 0, 0, 0], dtype=np.int32))
         shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
-        chunk = jnp.asarray([np.int32(self.chunk_steps)])
         ub_dev = jnp.asarray([np.int32(ub)])
+        chunk_now = self.chunk_steps
+        import time as _time
         while True:
-            out = self._chunk(*tab, counters, shard_ctr, chunk, ub_dev)
+            _t0 = _time.perf_counter()
+            out = self._chunk(*tab, counters, shard_ctr,
+                              jnp.asarray([np.int32(chunk_now)]), ub_dev)
             tab, counters, shard_ctr = out[:5], out[5], out[6]
             stats_np = np.asarray(counters)
+            _dt = _time.perf_counter() - _t0
+            # keep each dispatch under the remote-worker watchdog
+            if _dt > 20 and chunk_now > 8:
+                chunk_now = max(8, chunk_now // 2)
+            elif _dt < 5 and chunk_now < self.chunk_steps:
+                chunk_now *= 2
             goal_v, fmin_v, steps, ovf = (int(v) for v in stats_np)
             counters = jnp.asarray(stats_np)
             if fmin_v >= goal_v or ovf > 0 or steps >= self.max_steps:

@@ -55,7 +55,7 @@ enable_compilation_cache()
 
 INF = np.int32(2**30)
 _EMPTY_WORD = np.uint32(0xFFFFFFFF)
-_HIST_BUCKETS = 512
+
 
 
 def _next_pow2(x: int) -> int:
