@@ -140,7 +140,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         return t_key, t_g, t_f, t_par, t_state
 
     def chunk_fn(t_key, t_g, t_f, t_par, t_state, counters, shard_ctr,
-                 chunk_steps, ub):
+                 chunk_steps, ub, htab, henc):
         tab = (t_key, t_g, t_f, t_par, t_state)
         goal0, steps0 = counters[0], counters[2]
         exp0, reop0 = shard_ctr[0], shard_ctr[1]
@@ -155,7 +155,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
             tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
             tab, coords, g, par, f_par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
-                st, coords, g, par, active, f_par
+                st, coords, g, par, active, f_par, htab, henc
             )
             valid = valid & (f_c <= ub[0])  # admissible UB pruning
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
@@ -197,7 +197,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
     ))
     chunk_jit = jax.jit(jax.shard_map(
         chunk_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None), P(AXIS), P(None), P(None)),
+        in_specs=spec_tab + (P(None), P(AXIS), P(None), P(None), P(None), P(None)),
         out_specs=spec_tab + (P(None), P(AXIS)),
         check_vma=False,
     ), donate_argnums=(0, 1, 2, 3, 4))
@@ -322,7 +322,8 @@ class ShardedFrontierSearch:
         while True:
             _t0 = _time.perf_counter()
             out = self._chunk(*tab, counters, shard_ctr,
-                              jnp.asarray([np.int32(chunk_now)]), ub_dev)
+                              jnp.asarray([np.int32(chunk_now)]), ub_dev,
+                              self.st.d_tables, self.st.d_enc)
             tab, counters, shard_ctr = out[:5], out[5], out[6]
             stats_np = np.asarray(counters)
             _dt = _time.perf_counter() - _t0

@@ -191,7 +191,8 @@ def _probe_slot(h0: jnp.ndarray, r, Cmask: np.uint32) -> jnp.ndarray:
     return ((h0 + off) & Cmask).astype(jnp.int32)
 
 
-def _expand(st: _Static, coords, g, parenti, active, f_parent=None):
+def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
+            htab=None, henc=None):
     """Expand a batch: (B, N) coords -> all-mask successor candidates.
 
     Returns flat (B*M,) candidate arrays: keys (B*M, W), g, f, move mask, valid.
@@ -200,9 +201,13 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None):
     M, P, S = st.M, st.P, st.S
 
     # residues at current positions: ch[b, i] = enc[i, pos_i]
+    if htab is None:
+        htab = st.d_tables
+    if henc is None:
+        henc = st.d_enc
     pos = jnp.clip(coords, 0, st.enc_stride - 1)
     ch = jnp.take(
-        st.d_enc,
+        henc,
         (jnp.arange(n, dtype=jnp.int32) * st.enc_stride)[None, :] + pos,
         axis=0,
     )  # (B, N)
@@ -241,10 +246,10 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None):
     idx00 = base + cx * S + cy
     t4 = jnp.stack(
         [
-            jnp.take(st.d_tables, idx00, axis=0),
-            jnp.take(st.d_tables, idx00 + 1, axis=0),
-            jnp.take(st.d_tables, idx00 + S, axis=0),
-            jnp.take(st.d_tables, idx00 + S + 1, axis=0),
+            jnp.take(htab, idx00, axis=0),
+            jnp.take(htab, idx00 + 1, axis=0),
+            jnp.take(htab, idx00 + S, axis=0),
+            jnp.take(htab, idx00 + S + 1, axis=0),
         ],
         axis=-1,
     )  # (B, P, 4) int32; order k=2i+j matches Ind
@@ -539,9 +544,10 @@ def _adapt_thr(thr, n_selected, B):
 
 def _make_step(st: _Static):
     @partial(jax.jit, donate_argnums=(0,))
-    def step(tab, goal_g, ub, thr):
+    def step(tab, goal_g, ub, thr, htab, henc):
         tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
-        keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par)
+        keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par,
+                                                            htab, henc)
         valid = valid & (f_c <= ub)  # admissible UB pruning (see run_chunk)
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
         tab, reopen_ct, overflow, _ = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
@@ -568,7 +574,7 @@ def _make_run_loop(st: _Static):
     """
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(tab, counters, chunk_steps, ub):
+    def run_chunk(tab, counters, chunk_steps, ub, htab, henc):
         goal_g0, _, steps0, expanded0, reopen0, n_open0, overflow0 = (
             counters[0], counters[1], counters[2], counters[3],
             counters[4], counters[5], counters[6],
@@ -583,7 +589,8 @@ def _make_run_loop(st: _Static):
         def body(carry):
             tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
             tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
-            keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par)
+            keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par,
+                                                                htab, henc)
             # upper-bound pruning: with admissible h, no optimal-path node has
             # f > UB (a complete-path cost), so dropping them keeps optimality
             # while capping the frontier flood at best-first levels
@@ -723,7 +730,8 @@ class TpuFrontierSearch:
         last_n_open = 0
         goal_found = int(INF)
         while steps < self.max_steps:
-            tab, goal_g, thr, stats = self._step(tab, goal_g, ub_dev, thr)
+            tab, goal_g, thr, stats = self._step(tab, goal_g, ub_dev, thr,
+                                                 self.st.d_tables, self.st.d_enc)
             sv = np.asarray(stats)
             steps += 1
             goal_found = int(sv[0])
@@ -778,7 +786,8 @@ class TpuFrontierSearch:
                     snapshot = tuple(np.asarray(a) for a in tab), np.asarray(counters)
                 _t0 = _time.perf_counter()
                 tab, counters = self._run_loop(
-                    tab, counters, jnp.asarray(np.int32(chunk_now)), ub_dev
+                    tab, counters, jnp.asarray(np.int32(chunk_now)), ub_dev,
+                    self.st.d_tables, self.st.d_enc,
                 )
                 stats_np = np.asarray(counters)  # 1 small transfer per chunk
                 _dt = _time.perf_counter() - _t0
