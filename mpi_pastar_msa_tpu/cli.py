@@ -65,12 +65,22 @@ def make_parser() -> argparse.ArgumentParser:
 
 def run(argv=None) -> int:
     args = make_parser().parse_args(argv)
-    if not os.path.isfile(args.fasta):
-        print(f"Option parse error: File {args.fasta} does not exist or isn't a regular file",
-              file=sys.stderr)
-        return 1
 
-    problem = problem_from_fasta(args.fasta)
+    # multi-host bootstrap (no-op single-process): host 0 reads the FASTA and
+    # broadcasts it, mirroring the reference's MPI rank-0 distribution
+    # (ref: pastar/msa_pastar_main.cpp:97-179)
+    from .parallel.multihost import broadcast_problem, init_distributed
+
+    proc = init_distributed()
+    if proc == 0:
+        if not os.path.isfile(args.fasta):
+            print(f"Option parse error: File {args.fasta} does not exist "
+                  f"or isn't a regular file", file=sys.stderr)
+            return 1
+        problem = problem_from_fasta(args.fasta)
+    else:
+        problem = None
+    problem = broadcast_problem(problem)
     print(f"Aligning {problem.n_seq} sequences (max length {problem.max_length}) "
           f"with engine={args.engine} hash={args.hash_type} shift={args.hash_shift}")
 

@@ -752,6 +752,24 @@ class TpuFrontierSearch:
                             total_reopen, last_n_open)
 
     def run(self) -> TpuSearchResult:
+        """Run to the provably optimal goal; on table overflow the capacity is
+        doubled (up to 2^25) and the search restarts — the functional analogue
+        of growing the reference's std::map closed lists."""
+        attempts = 0
+        while True:
+            try:
+                return self._run_once()
+            except RuntimeError as e:
+                if "overflow" not in str(e) or attempts >= 2 or self.st.C >= (1 << 25):
+                    raise
+                attempts += 1
+                self.st = _Static(self.problem, self.heuristic, self.st.B,
+                                  self.st.C * 2)
+                self._step = _make_step(self.st)
+                self._run_loop = _make_run_loop(self.st)
+                self._walk = _make_backtrace(self.st)
+
+    def _run_once(self) -> TpuSearchResult:
         st = self.st
         from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
 

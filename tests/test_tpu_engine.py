@@ -110,10 +110,13 @@ class TestEngineEndToEnd:
         res = E.TpuFrontierSearch(p, h, batch=64, capacity=1 << 14).run()
         assert res.g == want
 
-    def test_overflow_detection(self):
-        # PF08184's optimal path alone has ~177 nodes; a 32-slot table must
-        # report overflow rather than silently losing states
+    def test_overflow_autoregrow(self):
+        # a 32-slot table overflows immediately; the engine must double the
+        # capacity and still return the optimal result (never silently lose
+        # states)
         p = problem_from_fasta(f"{REF}/PF08184.fasta")
         h = HPairHeuristic.build(p)
-        with pytest.raises(RuntimeError, match="overflow|capacity"):
-            E.TpuFrontierSearch(p, h, batch=64, capacity=1 << 5).run()
+        eng = E.TpuFrontierSearch(p, h, batch=64, capacity=1 << 5)
+        res = eng.run()
+        assert res.g == 24450
+        assert eng.st.C > (1 << 5)  # regrow happened
