@@ -62,3 +62,13 @@ class TestBundledInputs:
         for row, s in zip(al, p.seqs):
             assert row.replace("-", "") == s
         assert len({len(a) for a in al}) == 1
+
+
+class TestTwoSequences:
+    def test_n2_pairwise_alignment(self):
+        # N=2 degenerates to plain pairwise alignment; weight scales to 8
+        p = Problem(("ACDEF", "ACF"))
+        h = HPairHeuristic.build(p)
+        r = SerialAStar(p, h).run()
+        assert r.g == optimal_cost(p, h)
+        assert int(h.weight_i[0, 1]) == 8
