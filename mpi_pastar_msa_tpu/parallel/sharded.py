@@ -330,7 +330,7 @@ class ShardedFrontierSearch:
             # keep each dispatch under the remote-worker watchdog
             if _dt > 20 and chunk_now > 8:
                 chunk_now = max(8, chunk_now // 2)
-            elif _dt < 5 and chunk_now < self.chunk_steps:
+            elif _dt < 8 and chunk_now < 4 * self.chunk_steps:
                 chunk_now *= 2
             goal_v, fmin_v, steps, ovf = (int(v) for v in stats_np)
             counters = jnp.asarray(stats_np)

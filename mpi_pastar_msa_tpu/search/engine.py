@@ -812,7 +812,7 @@ class TpuFrontierSearch:
                 # keep each dispatch well under the remote-worker watchdog
                 if _dt > 20 and chunk_now > 8:
                     chunk_now = max(8, chunk_now // 2)
-                elif _dt < 5 and chunk_now < self.chunk_steps:
+                elif _dt < 8 and chunk_now < 4 * self.chunk_steps:
                     chunk_now *= 2
             except Exception as e:  # noqa: BLE001
                 if snapshot is None or "UNAVAILABLE" not in str(e):
