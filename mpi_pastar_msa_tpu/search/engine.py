@@ -191,6 +191,34 @@ def _probe_slot(h0: jnp.ndarray, r, Cmask: np.uint32) -> jnp.ndarray:
     return ((h0 + off) & Cmask).astype(jnp.int32)
 
 
+_PFX_BLOCK = 512
+
+
+def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of an int32 vector via MXU triangular matmul.
+
+    XLA's 1-D cumsum on TPU runs as a sequential window scan (~10 ms at 250k
+    elements — it dominated the insert phase); a (K, 512) @ (512, 512)
+    upper-triangular ones-matmul computes all within-block prefixes on the
+    MXU, with only the tiny K-length block-offset cumsum left sequential.
+    Exact while totals stay below 2^24 (candidate counts always do).
+    """
+    L = x.shape[0]
+    if L % _PFX_BLOCK != 0 or L <= _PFX_BLOCK:
+        return jnp.cumsum(x)
+    K = L // _PFX_BLOCK
+    x2 = x.reshape(K, _PFX_BLOCK).astype(jnp.float32)
+    tri = jnp.triu(jnp.ones((_PFX_BLOCK, _PFX_BLOCK), jnp.float32))
+    within = jax.lax.dot_general(
+        x2, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    block_tot = within[:, -1].astype(jnp.int32)
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(block_tot)[:-1]])
+    return (within.astype(jnp.int32) + offsets[:, None]).reshape(L)
+
+
 def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
             htab=None, henc=None):
     """Expand a batch: (B, N) coords -> all-mask successor candidates.
@@ -355,7 +383,7 @@ def _insert_core(st: _Static, tab, claim, keys, g_new, f_new, parenti_new,
 
     Xn = max(X // 8, 256)
     un = ~done
-    nv = jnp.cumsum(un.astype(jnp.int32))
+    nv = _prefix_sum(un.astype(jnp.int32))
     cnt = nv[-1]
     fits = (cnt <= Xn) if Xn < X else jnp.asarray(False)
 
@@ -449,7 +477,7 @@ def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid,
         return _insert_core(st, tab, claim, keys, g_new, f_new, parenti_new,
                             valid, h0, idx_vec, step_tag)
 
-    nv = jnp.cumsum(valid.astype(jnp.int32))
+    nv = _prefix_sum(valid.astype(jnp.int32))
     cnt = nv[-1]
     fits = cnt <= Lc
 
