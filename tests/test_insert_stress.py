@@ -1,0 +1,107 @@
+"""Randomized stress test of the batch hash-insert protocol.
+
+Feeds batches with heavy duplicate keys (the claim-reservation race paths)
+into a small table and checks every result against a Python dict model with
+identical decrease-key/reopen semantics.
+"""
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpi_pastar_msa_tpu.core.problem import Problem
+from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+from mpi_pastar_msa_tpu.search import engine as E
+
+
+def _mk_static(capacity=1 << 10, batch=64):
+    p = Problem(("ACDEF", "ACF", "CDE"))
+    h = HPairHeuristic.build(p)
+    eng = E.TpuFrontierSearch(p, h, batch=batch, capacity=capacity)
+    return eng.st
+
+
+class TestInsertStress:
+    def test_randomized_batches_match_model(self):
+        st = _mk_static()
+        C = st.C
+        rng = random.Random(17)
+        model = {}  # key tuple -> (g, parenti, f, state)
+
+        t_key = jnp.full((C, st.W), E._EMPTY_WORD, dtype=jnp.uint32)
+        t_g = jnp.full((C,), E.INF, dtype=jnp.int32)
+        t_f = jnp.full((C,), E.INF, dtype=jnp.int32)
+        t_par = jnp.zeros((C,), dtype=jnp.int32)
+        t_state = jnp.zeros((C,), dtype=jnp.int32)
+        tab = (t_key, t_g, t_f, t_par, t_state)
+        claim = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+
+        L = 96
+        for step in range(12):
+            coords = np.array(
+                [[rng.randint(0, 4), rng.randint(0, 3), rng.randint(0, 3)]
+                 for _ in range(L)], dtype=np.int32,
+            )
+            g = np.array([rng.randint(0, 500) for _ in range(L)], dtype=np.int32)
+            f = g + 7
+            par = np.array([rng.randint(1, 7) for _ in range(L)], dtype=np.int32)
+            valid = np.array([rng.random() < 0.8 for _ in range(L)])
+
+            keys = np.asarray(E._pack_keys(jnp.asarray(coords), st.W))
+            keys = np.where(valid[:, None], keys, 0xFFFFFFFF).astype(np.uint32)
+
+            tab, reopen, ovf, claim = E._insert(
+                st, tab, jnp.asarray(keys), jnp.asarray(g), jnp.asarray(f),
+                jnp.asarray(par), jnp.asarray(valid),
+                claim=claim, step_tag=jnp.uint32(step),
+            )
+            assert int(ovf) == 0
+
+            # model update: min-g wins; ties keep either (check g only then)
+            for i in range(L):
+                if not valid[i]:
+                    continue
+                k = tuple(coords[i])
+                cur = model.get(k)
+                if cur is None or g[i] < cur[0]:
+                    model[k] = (int(g[i]), int(par[i]), int(f[i]), 1)
+
+            # verify table contents against the model
+            tk = np.asarray(tab[0])
+            tg = np.asarray(tab[1])
+            occupied = tk[:, 0] != 0xFFFFFFFF
+            seen = {}
+            for s in np.nonzero(occupied)[0]:
+                c = tuple(
+                    int((tk[s, j // 2] >> (16 * (j % 2))) & 0xFFFF) for j in range(3)
+                )
+                assert c not in seen, f"duplicate table entry for {c}"
+                seen[c] = s
+                assert c in model, f"unexpected key {c}"
+                assert tg[s] == model[c][0], (c, tg[s], model[c])
+            assert set(seen) == set(model)
+
+    def test_same_key_batch_collapse(self):
+        # an entire batch of ONE key must produce exactly one entry with min g
+        st = _mk_static()
+        C = st.C
+        L = 64
+        coords = np.tile(np.array([[2, 1, 1]], dtype=np.int32), (L, 1))
+        g = np.arange(100, 100 + L, dtype=np.int32)[::-1].copy()  # min g = 100 at last
+        keys = np.asarray(E._pack_keys(jnp.asarray(coords), st.W)).astype(np.uint32)
+
+        t_key = jnp.full((C, st.W), E._EMPTY_WORD, dtype=jnp.uint32)
+        tab = (t_key,
+               jnp.full((C,), E.INF, dtype=jnp.int32),
+               jnp.full((C,), E.INF, dtype=jnp.int32),
+               jnp.zeros((C,), dtype=jnp.int32),
+               jnp.zeros((C,), dtype=jnp.int32))
+        tab, reopen, ovf, _ = E._insert(
+            st, tab, jnp.asarray(keys), jnp.asarray(g), jnp.asarray(g + 5),
+            jnp.asarray(np.full(L, 3, np.int32)), jnp.asarray(np.ones(L, bool)),
+        )
+        assert int(ovf) == 0
+        tk = np.asarray(tab[0])
+        occ = np.nonzero(tk[:, 0] != 0xFFFFFFFF)[0]
+        assert len(occ) == 1
+        assert int(np.asarray(tab[1])[occ[0]]) == 100
