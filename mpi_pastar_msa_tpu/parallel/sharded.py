@@ -327,12 +327,10 @@ class ShardedFrontierSearch:
             tab, counters, shard_ctr = out[:5], out[5], out[6]
             stats_np = np.asarray(counters)
             _dt = _time.perf_counter() - _t0
-            # keep each dispatch under the remote-worker watchdog;
-            # chunk length also bounded so claim tags fit in uint32
-            tag_cap = max(8, (1 << 32) // (st.max_probes * st.B * st.M) - 2)
+            # keep each dispatch under the remote-worker watchdog
             if _dt > 20 and chunk_now > 8:
                 chunk_now = max(8, chunk_now // 2)
-            elif _dt < 8 and chunk_now < min(4 * self.chunk_steps, tag_cap):
+            elif _dt < 8 and chunk_now < 4 * self.chunk_steps:
                 chunk_now *= 2
             goal_v, fmin_v, steps, ovf = (int(v) for v in stats_np)
             counters = jnp.asarray(stats_np)

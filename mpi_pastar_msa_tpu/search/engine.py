@@ -316,91 +316,127 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
     )
 
 
-def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid,
-            claim=None, step_tag=None):
-    """Batch insert with decrease-key/reopen. Returns (tab, reopen_ct,
-    overflow, claim).
+def _probe_body_factory(st: _Static, keys, h0, idx_orig, step_tag):
+    """Build one probing round for a fixed candidate array set.
 
-    Cond-free, copy-free probing: the key table is NOT written (or carried)
-    inside the probe loop — the ``claim`` array alone is the allocation
-    record.  A slot is "reserved this step" when its claim tag decodes to the
-    current ``step_tag``; the claimant's candidate index is the tag's low
-    bits, so a same-key candidate recognises its sibling's reservation by
-    comparing candidate keys directly, and a different-key candidate probes
-    on.  Winners' keys are written with a single scatter after the loop.
-    (Earlier designs wrote keys inside the loop and branched through
-    lax.conds; on TPU every cond boundary copied the 200MB+ carried table —
-    the dominant super-step cost.)
-
-    ``claim`` ((C,) uint32, sentinel 0xFFFFFFFF) may be carried across the
-    steps of a chunk; tags are ``(step_tag*R + r)*L + idx``.  Reservations
-    from EARLIER steps always coincide with occupied table slots (their keys
-    were written at that step's end), so only the current step's tags are
-    treated as reservations.
+    Claim tags are (step_tag*R + r)*Lfull + idx_orig — unique per (step,
+    round, original candidate) within a chunk's claim-array lifetime.
     """
-    t_key, t_g, t_f, t_par, t_state = tab
     C = st.C
     Cmask = np.uint32(C - 1)
-    L = keys.shape[0]
-    R = st.max_probes
-    h0 = _hash_keys(keys)
-    if claim is None:
-        claim = jnp.full((C,), _EMPTY_WORD, dtype=jnp.uint32)
-    if step_tag is None:
-        step_tag = jnp.uint32(0)
-    idx_vec = jnp.arange(L, dtype=jnp.uint32)
-    Lu = np.uint32(L)
-    Ru = np.uint32(R)
+    Lfull = np.uint32(st.B * st.M)
 
     def body(carry):
-        r, done, slot_out, claimed_out, claim = carry
+        r, done, slot_out, claimed_out, t_key, claim = carry
         slot = _probe_slot(h0, r, Cmask)
         probe_slot = jnp.where(done, C, slot)  # OOB -> dropped in scatters
-        slot_c = jnp.clip(slot, 0, C - 1)
-        k_at = t_key[slot_c]  # (L, W)
-        occupied = k_at[:, 0] != _EMPTY_WORD
-        match = jnp.all(k_at == keys, axis=1) & occupied & ~done
+        k_at = t_key[jnp.clip(slot, 0, C - 1)]  # (X, W)
+        st_occ = k_at[:, 0] != _EMPTY_WORD
+        match = jnp.all(k_at == keys, axis=1) & st_occ & ~done
+        empty = ~st_occ & ~done
 
-        c_at = claim[slot_c]
-        step_of = c_at // (Ru * Lu)
-        reserved = (c_at != _EMPTY_WORD) & (step_of == step_tag) & ~occupied
-        claimant = jnp.clip(c_at % Lu, 0, L - 1).astype(jnp.int32)
-        same_key = reserved & jnp.all(keys[claimant] == keys, axis=1) & ~done
+        tag = (step_tag * np.uint32(st.max_probes) + r.astype(jnp.uint32)) * Lfull + idx_orig
+        claim = claim.at[jnp.where(empty, probe_slot, C)].set(tag, mode="drop")
+        won = empty & (claim[jnp.clip(slot, 0, C - 1)] == tag)
+        # winners write their key (occupying the slot)
+        t_key = t_key.at[jnp.where(won, probe_slot, C)].set(keys, mode="drop")
+        # losers re-check: the slot may now hold an equal key written this round
+        k_at2 = t_key[jnp.clip(slot, 0, C - 1)]
+        match2 = jnp.all(k_at2 == keys, axis=1) & ~done & ~won & ~match
 
-        free = ~occupied & ~reserved & ~done
-        tag = (step_tag * Ru + r.astype(jnp.uint32)) * Lu + idx_vec
-        claim = claim.at[jnp.where(free, probe_slot, C)].set(tag, mode="drop")
-        after = claim[slot_c]
-        won = free & (after == tag)
-        # a same-round race on a fresh slot: the loser sees the winner's tag;
-        # if the winner holds an equal key, settle here too
-        lost_now = free & ~won
-        l_claimant = jnp.clip(after % Lu, 0, L - 1).astype(jnp.int32)
-        l_same = lost_now & jnp.all(keys[l_claimant] == keys, axis=1)
-
-        settled = match | won | same_key | l_same
+        settled = match | won | match2
         slot_out = jnp.where(settled, slot, slot_out)
         claimed_out = claimed_out | won
         done = done | settled
-        return r + 1, done, slot_out, claimed_out, claim
+        return r + 1, done, slot_out, claimed_out, t_key, claim
+
+    return body
+
+
+def _insert_core(st: _Static, tab, claim, keys, g_new, f_new, parenti_new,
+                 valid, h0, idx_orig, step_tag):
+    """Probe + place + decrease-key at the given (static) candidate width.
+
+    Probing narrows after two rounds: the few unsettled candidates (long
+    probe chains / claim losers) are compacted into a buffer 1/8 the width so
+    the tail rounds — whose count is the MAX chain length over the batch —
+    run at a fraction of the memory traffic.
+    """
+    t_key, t_g, t_f, t_par, t_state = tab
+    C = st.C
+    X = keys.shape[0]
+    R = st.max_probes
+
+    body = _probe_body_factory(st, keys, h0, idx_orig, step_tag)
 
     def cond(carry):
-        r, done, _, _, _ = carry
+        r, done, _, _, _, _ = carry
         return (r < R) & jnp.any(~done)
 
-    init = (jnp.int32(0), ~valid,
-            jnp.full((L,), C, dtype=jnp.int32),
-            jnp.zeros((L,), dtype=bool), claim)
-    # two unconditional rounds settle the bulk; the while_loop finishes the
-    # max-chain tail and exits as soon as everyone is placed
-    carry = body(init)
-    carry = body(carry)
-    _, done, slot, claimed, claim = jax.lax.while_loop(cond, body, carry)
+    # stage A: two rounds at full width (settles the vast majority)
+    carry = (jnp.int32(0), ~valid,
+             jnp.full((X,), C, dtype=jnp.int32),
+             jnp.zeros((X,), dtype=bool), t_key, claim)
+    carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
+    carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
+    r2, done, slot, claimed, t_key, claim = carry
+
+    Xn = max(X // 8, 256)
+    un = ~done
+    nv = _prefix_sum(un.astype(jnp.int32))
+    cnt = nv[-1]
+    fits = (cnt <= Xn) if Xn < X else jnp.asarray(False)
+
+    def narrow_path(op):
+        t_key, claim, done, slot, claimed = op
+        pos = jnp.where(un, nv - 1, Xn)
+        # pack all per-candidate fields into one scatter
+        packed = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(keys, jnp.int32).reshape(X, -1),
+             jax.lax.bitcast_convert_type(h0, jnp.int32)[:, None],
+             jax.lax.bitcast_convert_type(idx_orig, jnp.int32)[:, None]],
+            axis=1,
+        )
+        buf = jnp.zeros((Xn, packed.shape[1]), jnp.int32).at[pos].set(
+            packed, mode="drop"
+        )
+        nkeys = jax.lax.bitcast_convert_type(buf[:, : st.W], jnp.uint32)
+        nh0 = jax.lax.bitcast_convert_type(buf[:, st.W], jnp.uint32)
+        nidx = jax.lax.bitcast_convert_type(buf[:, st.W + 1], jnp.uint32)
+        nvalid = jnp.arange(Xn) < cnt
+
+        nbody = _probe_body_factory(st, nkeys, nh0, nidx, step_tag)
+
+        def ncond(c):
+            r, nd, _, _, _, _ = c
+            return (r < R) & jnp.any(~nd)
+
+        ncarry = (r2, ~nvalid,
+                  jnp.full((Xn,), C, dtype=jnp.int32),
+                  jnp.zeros((Xn,), dtype=bool), t_key, claim)
+        _, ndone, nslot, nclaimed, t_key, claim = jax.lax.while_loop(
+            ncond, nbody, ncarry
+        )
+        # map results back (gather at original width)
+        posc = jnp.clip(pos, 0, Xn - 1)
+        upd = un & fits
+        slot = jnp.where(upd, nslot[posc], slot)
+        claimed = jnp.where(upd, nclaimed[posc], claimed)
+        done = jnp.where(upd, ndone[posc] & (posc < cnt), done)
+        done = done | ~un  # previously settled stay settled
+        return t_key, claim, done, slot, claimed
+
+    def wide_path(op):
+        t_key, claim, done, slot, claimed = op
+        carry = (r2, done, slot, claimed, t_key, claim)
+        _, done, slot, claimed, t_key, claim = jax.lax.while_loop(cond, body, carry)
+        return t_key, claim, done, slot, claimed
+
+    t_key, claim, done, slot, claimed = jax.lax.cond(
+        fits, narrow_path, wide_path, (t_key, claim, done, slot, claimed)
+    )
 
     overflow = jnp.sum(valid & ~done)
-    # single post-loop key write for all claim winners
-    t_key = t_key.at[jnp.where(claimed, slot, C)].set(keys, mode="drop")
-
     placed = valid & done
     slot_c = jnp.clip(slot, 0, C - 1)
     g_before = jnp.where(claimed, INF, t_g[slot_c])
@@ -416,6 +452,65 @@ def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid,
     t_state = t_state.at[slot_i].set(jnp.int32(1), mode="drop")
     reopen_ct = jnp.sum(improve & (state_before == 2))
     return (t_key, t_g, t_f, t_par, t_state), reopen_ct, overflow, claim
+
+
+def _insert(st: _Static, tab, keys, g_new, f_new, parenti_new, valid,
+            claim=None, step_tag=None):
+    """Batch insert with decrease-key/reopen. Returns (tab, reopen_ct,
+    overflow, claim).
+
+    Valid candidates are first compacted to half width (UB pruning and border
+    checks typically invalidate well over half the batch), so every probing
+    round and every placement scatter runs at the reduced width; if more than
+    half the batch is valid, the original-width path runs instead.
+    """
+    L = keys.shape[0]
+    h0 = _hash_keys(keys)
+    if claim is None:
+        claim = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+    if step_tag is None:
+        step_tag = jnp.uint32(0)
+    idx_vec = jnp.arange(L, dtype=jnp.uint32)
+
+    Lc = max(L // 2, 256)
+    if Lc >= L:
+        return _insert_core(st, tab, claim, keys, g_new, f_new, parenti_new,
+                            valid, h0, idx_vec, step_tag)
+
+    nv = _prefix_sum(valid.astype(jnp.int32))
+    cnt = nv[-1]
+    fits = cnt <= Lc
+
+    def compact_path(op):
+        tab, claim = op
+        pos = jnp.where(valid, nv - 1, Lc)
+        packed = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(keys, jnp.int32).reshape(L, -1),
+             g_new[:, None], f_new[:, None], parenti_new[:, None],
+             jax.lax.bitcast_convert_type(h0, jnp.int32)[:, None],
+             jax.lax.bitcast_convert_type(idx_vec, jnp.int32)[:, None]],
+            axis=1,
+        )
+        buf = jnp.zeros((Lc, packed.shape[1]), jnp.int32).at[pos].set(
+            packed, mode="drop"
+        )
+        W = st.W
+        ckeys = jax.lax.bitcast_convert_type(buf[:, :W], jnp.uint32)
+        cg = buf[:, W]
+        cf = buf[:, W + 1]
+        cpar = buf[:, W + 2]
+        ch0 = jax.lax.bitcast_convert_type(buf[:, W + 3], jnp.uint32)
+        cidx = jax.lax.bitcast_convert_type(buf[:, W + 4], jnp.uint32)
+        cvalid = jnp.arange(Lc) < cnt
+        return _insert_core(st, tab, claim, ckeys, cg, cf, cpar, cvalid,
+                            ch0, cidx, step_tag)
+
+    def full_path(op):
+        tab, claim = op
+        return _insert_core(st, tab, claim, keys, g_new, f_new, parenti_new,
+                            valid, h0, idx_vec, step_tag)
+
+    return jax.lax.cond(fits, compact_path, full_path, (tab, claim))
 
 
 def _select(st: _Static, tab, goal_g, thr):
@@ -742,12 +837,10 @@ class TpuFrontierSearch:
                 )
                 stats_np = np.asarray(counters)  # 1 small transfer per chunk
                 _dt = _time.perf_counter() - _t0
-                # keep each dispatch well under the remote-worker watchdog;
-                # chunk length is also bounded so claim tags fit in uint32
-                tag_cap = max(8, (1 << 32) // (st.max_probes * st.B * st.M) - 2)
+                # keep each dispatch well under the remote-worker watchdog
                 if _dt > 20 and chunk_now > 8:
                     chunk_now = max(8, chunk_now // 2)
-                elif _dt < 8 and chunk_now < min(4 * self.chunk_steps, tag_cap):
+                elif _dt < 8 and chunk_now < 4 * self.chunk_steps:
                     chunk_now *= 2
             except Exception as e:  # noqa: BLE001
                 if snapshot is None or "UNAVAILABLE" not in str(e):
