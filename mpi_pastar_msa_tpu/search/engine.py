@@ -373,12 +373,14 @@ def _insert_core(st: _Static, tab, claim, keys, g_new, f_new, parenti_new,
         r, done, _, _, _, _ = carry
         return (r < R) & jnp.any(~done)
 
-    # stage A: two rounds at full width (settles the vast majority)
+    # stage A: two unconditional rounds at full width (settles the vast
+    # majority; a round where everyone is done is a masked no-op, and a
+    # lax.cond wrapper would copy the carried table at the branch boundary)
     carry = (jnp.int32(0), ~valid,
              jnp.full((X,), C, dtype=jnp.int32),
              jnp.zeros((X,), dtype=bool), t_key, claim)
-    carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
-    carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
+    carry = body(carry)
+    carry = body(carry)
     r2, done, slot, claimed, t_key, claim = carry
 
     Xn = max(X // 8, 256)
