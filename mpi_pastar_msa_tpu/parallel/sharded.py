@@ -289,7 +289,7 @@ class ShardedFrontierSearch:
                     break
             per_dev = max(1 << 14, min(1 << 22, lattice * 2 // self.ndev))
             capacity = 1 << (per_dev - 1).bit_length()
-        batch = min(batch, capacity)
+        batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps

@@ -716,7 +716,7 @@ class TpuFrontierSearch:
                 if lattice > (1 << 27):
                     break
             capacity = min(1 << 24, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 24))))
-        batch = min(batch, capacity)
+        batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
