@@ -239,8 +239,12 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
         (jnp.arange(n, dtype=jnp.int32) * st.enc_stride)[None, :] + pos,
         axis=0,
     )  # (B, N)
-    chx = jnp.take_along_axis(ch, st.d_xs[None, :].repeat(B, 0), axis=1)  # (B, P)
-    chy = jnp.take_along_axis(ch, st.d_ys[None, :].repeat(B, 0), axis=1)
+    # one combined gather for both pair endpoints (per-op latency dominates
+    # on the remote backend, so fewer/larger gathers win)
+    chxy = jnp.take_along_axis(
+        ch, jnp.concatenate([st.d_xs, st.d_ys])[None, :].repeat(B, 0), axis=1
+    )  # (B, 2P)
+    chx, chy = chxy[:, :P], chxy[:, P:]
     mm = jnp.take(st.d_cost_tab, chx * 128 + chy, axis=0)  # (B, P) int32
 
     E, GG = GAP_EXTENSION, GAP_GAP
@@ -272,15 +276,9 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
     cx = jnp.clip(cx, 0, S - 2)
     cy = jnp.clip(cy, 0, S - 2)
     idx00 = base + cx * S + cy
-    t4 = jnp.stack(
-        [
-            jnp.take(htab, idx00, axis=0),
-            jnp.take(htab, idx00 + 1, axis=0),
-            jnp.take(htab, idx00 + S, axis=0),
-            jnp.take(htab, idx00 + S + 1, axis=0),
-        ],
-        axis=-1,
-    )  # (B, P, 4) int32; order k=2i+j matches Ind
+    off = jnp.asarray(np.array([0, 1, S, S + 1], dtype=np.int32))
+    t4 = jnp.take(htab, idx00[:, :, None] + off[None, None, :], axis=0)
+    # (B, P, 4) int32 in one gather; order k=2i+j matches Ind
     t4w = t4 * st.d_w[None, :, None]  # (B, P, 4) int32, < 2^24-ish
     hi = (t4w >> 12).astype(jnp.float32).reshape(B, 4 * P)
     lo = (t4w & 0xFFF).astype(jnp.float32).reshape(B, 4 * P)
