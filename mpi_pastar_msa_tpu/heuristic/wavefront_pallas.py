@@ -43,8 +43,9 @@ def _kernel(nlim_ref, subd_ref, out_ref, v1_ref, a1_ref, v2_ref, *, lmax: int, L
     """
     from jax.experimental import pallas as pl
 
-    n1 = nlim_ref[0, 0]
-    n2 = nlim_ref[0, 1]
+    pid = pl.program_id(0)
+    n1 = nlim_ref[pid, 0]
+    n2 = nlim_ref[pid, 1]
     D = n1 + n2
     E = jnp.int32(GAP_EXTENSION)
     O = jnp.int32(GAP_OPEN)
@@ -129,7 +130,9 @@ def _pallas_tables(subd, nlims, dummy, lmax: int, interpret: bool = False):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda p: (p, 0), memory_space=pltpu.SMEM),
+            # whole (P, 2) scalar table in SMEM (Mosaic requires full-array
+            # blocks unless tile-aligned); the kernel indexes by program_id
+            pl.BlockSpec((P, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, D, L1p), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, D + 1, L1p), lambda p: (p, 0, 0),
