@@ -72,3 +72,19 @@ class TestTwoSequences:
         r = SerialAStar(p, h).run()
         assert r.g == optimal_cost(p, h)
         assert int(h.weight_i[0, 1]) == 8
+
+
+class TestGoldens:
+    def test_goldens_fixture_consistent(self):
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "goldens.json")
+        goldens = json.load(open(path))
+        assert goldens["test.fasta"]["optimal_g"] == 13950
+        assert goldens["PF08184.fasta"]["optimal_g"] == 24450
+        assert goldens["kinase.fasta"]["optimal_g"] == 421546
+        assert goldens["test2.fasta"]["optimal_g"] == 42075
+        for name, rec in goldens.items():
+            al = rec["alignment"]
+            assert len({len(a) for a in al}) == 1
