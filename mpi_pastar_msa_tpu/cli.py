@@ -60,6 +60,9 @@ def make_parser() -> argparse.ArgumentParser:
                     help="hash-table capacity (default: auto)")
     ap.add_argument("--chunk", type=int, default=64,
                     help="super-steps per device dispatch")
+    ap.add_argument("--checkpoint", metavar="PATH", default=None,
+                    help="periodically checkpoint the search state; resumes "
+                         "automatically if PATH exists for the same problem")
     return ap
 
 
@@ -133,7 +136,8 @@ def run(argv=None) -> int:
                                         hash_shift=args.hash_shift,
                                         batch=args.batch,
                                         capacity=args.capacity,
-                                        chunk_steps=args.chunk)
+                                        chunk_steps=args.chunk,
+                                        checkpoint_path=args.checkpoint)
             res = eng.run()
         if args.profile:
             jax.profiler.stop_trace()

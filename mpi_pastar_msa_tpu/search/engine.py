@@ -700,7 +700,8 @@ class TpuFrontierSearch:
                  hash_shift: int = 12, batch: Optional[int] = None,
                  capacity: Optional[int] = None, max_steps: int = 1_000_000,
                  chunk_steps: int = 64, snapshot_every: int = 0,
-                 driver: str = "chunked"):
+                 driver: str = "chunked", checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 8):
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         n = problem.n_seq
@@ -721,6 +722,8 @@ class TpuFrontierSearch:
         self.chunk_steps = chunk_steps
         self.snapshot_every = snapshot_every
         self.driver = driver
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
         self.hash_type = hash_type
         self.hash_shift = hash_shift
         self._step = _make_step(self.st)
@@ -779,6 +782,44 @@ class TpuFrontierSearch:
         return self._finish(tab, goal_found, steps, total_expanded,
                             total_reopen, last_n_open)
 
+    def _ckpt_meta(self) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        for s in self.problem.seqs:
+            h.update(s.encode())
+        h.update(f"{self.st.B}:{self.st.C}:{self.st.W}".encode())
+        return h.hexdigest()[:16]
+
+    def _save_checkpoint(self, tab, counters) -> None:
+        """Persist the full search state (checkpoint/resume — absent from the
+        reference, SURVEY.md §5).  Atomic via rename."""
+        import os
+
+        tmp = self.checkpoint_path + ".tmp"
+        np.savez_compressed(
+            tmp,
+            meta=np.frombuffer(self._ckpt_meta().encode(), dtype=np.uint8),
+            t_key=np.asarray(tab[0]), t_g=np.asarray(tab[1]),
+            t_f=np.asarray(tab[2]), t_par=np.asarray(tab[3]),
+            t_state=np.asarray(tab[4]), counters=np.asarray(counters),
+        )
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   self.checkpoint_path)
+
+    def _load_checkpoint(self):
+        import os
+
+        if not self.checkpoint_path or not os.path.exists(self.checkpoint_path):
+            return None, None
+        z = np.load(self.checkpoint_path)
+        meta = bytes(z["meta"]).decode()
+        if meta != self._ckpt_meta():
+            return None, None  # different problem/config; start fresh
+        tab = tuple(jnp.asarray(z[k]) for k in
+                    ("t_key", "t_g", "t_f", "t_par", "t_state"))
+        return tab, jnp.asarray(z["counters"])
+
     def run(self) -> TpuSearchResult:
         """Run to the provably optimal goal; on table overflow the capacity is
         doubled (up to 2^25) and the search restarts — the functional analogue
@@ -801,7 +842,9 @@ class TpuFrontierSearch:
         st = self.st
         from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
 
-        if _O == _E:
+        wi = self.heuristic.weight_i
+        degenerate = bool((wi[~np.eye(self.st.n, dtype=bool)] <= 0).any())
+        if _O == _E and not degenerate:
             from .bounds import greedy_upper_bound
 
             # wider beams tighten the bound; on big searches every unit of UB
@@ -809,13 +852,18 @@ class TpuFrontierSearch:
             beam = 256 if self.st.C >= (1 << 22) else 32
             ub = greedy_upper_bound(self.problem, self.heuristic, beam=beam)
         else:
-            ub = int(INF)  # greedy bound assumes O == E; disable pruning
+            # pruning assumes O == E and positive pair weights (degenerate
+            # inputs can yield non-positive rationale-2 weights, i.e. negative
+            # edge costs — optimality is undefined there, as in the reference)
+            ub = int(INF)
         if self.driver == "host":
             return self._run_host_driver(ub)
-        tab = self._init_table()
-        counters = jnp.asarray(
-            np.array([INF, 0, 0, 0, 0, 0, 0], dtype=np.int32)
-        )
+        tab, counters = self._load_checkpoint()
+        if tab is None:
+            tab = self._init_table()
+            counters = jnp.asarray(
+                np.array([INF, 0, 0, 0, 0, 0, 0], dtype=np.int32)
+            )
         ub_dev = jnp.asarray(np.int32(ub))
 
         # fault tolerance: snapshot the search state between chunks so a TPU
@@ -830,6 +878,9 @@ class TpuFrontierSearch:
             try:
                 if self.snapshot_every and chunks_done % self.snapshot_every == 0:
                     snapshot = tuple(np.asarray(a) for a in tab), np.asarray(counters)
+                if (self.checkpoint_path and chunks_done
+                        and chunks_done % self.checkpoint_every == 0):
+                    self._save_checkpoint(tab, counters)
                 _t0 = _time.perf_counter()
                 tab, counters = self._run_loop(
                     tab, counters, jnp.asarray(np.int32(chunk_now)), ub_dev,
@@ -861,6 +912,8 @@ class TpuFrontierSearch:
                 f"(capacity {st.C}); increase capacity"
             )
         if steps >= self.max_steps and fmin_v < goal_v:
+            if self.checkpoint_path:
+                self._save_checkpoint(tab, counters)
             raise RuntimeError("max_steps exceeded")
         if goal_v >= int(INF):
             raise RuntimeError("open set exhausted without reaching the goal")
