@@ -855,6 +855,15 @@ class TpuFrontierSearch:
             # pruning assumes O == E and positive pair weights (degenerate
             # inputs can yield non-positive rationale-2 weights, i.e. negative
             # edge costs — optimality is undefined there, as in the reference)
+            if degenerate:
+                import warnings
+
+                warnings.warn(
+                    "non-positive Altschul pair weights detected: edge costs "
+                    "can be negative, so A* optimality is undefined for this "
+                    "input (the reference has the same limitation)",
+                    RuntimeWarning, stacklevel=3,
+                )
             ub = int(INF)
         if self.driver == "host":
             return self._run_host_driver(ub)

@@ -120,3 +120,19 @@ class TestEngineEndToEnd:
         res = eng.run()
         assert res.g == 24450
         assert eng.st.C > (1 << 5)  # regrow happened
+
+
+class TestDegenerateWeights:
+    def test_warns_and_completes(self):
+        import warnings
+
+        # W/Y-only inputs give non-positive rationale-2 weights -> negative
+        # edge costs; the engine must warn, disable pruning, and still finish
+        p = Problem(("WYWY", "WYY", "YWW"))
+        h = HPairHeuristic.build(p)
+        assert (h.weight_i[0, 1] <= 0) or (h.weight_i[0, 2] <= 0) or (h.weight_i[1, 2] <= 0)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            res = E.TpuFrontierSearch(p, h, batch=16, capacity=1 << 12).run()
+        assert any("optimality is undefined" in str(x.message) for x in w)
+        assert res.closed  # produced some alignment path
