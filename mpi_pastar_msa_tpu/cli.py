@@ -92,7 +92,16 @@ def run(argv=None) -> int:
 
     engine = args.engine
     if engine == "auto":
-        engine = "tpu"
+        # small lattices finish in milliseconds on the native host engine;
+        # the TPU engine pays dispatch/compile latency that only amortises on
+        # large searches
+        lattice = 1
+        for s in problem.seqs:
+            lattice *= len(s) + 1
+            if lattice > 10**8:
+                break
+        engine = "native" if lattice <= 10**8 else "tpu"
+        print(f"engine auto -> {engine}")
 
     if engine == "serial":
         from .search.serial import SerialAStar
