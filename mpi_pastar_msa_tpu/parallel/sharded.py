@@ -307,12 +307,14 @@ class ShardedFrontierSearch:
                           dtype=np.int32)
         from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
 
-        if _O == _E:
+        wi = self.heuristic.weight_i
+        degenerate = bool((wi[~np.eye(st.n, dtype=bool)] <= 0).any())
+        if _O == _E and not degenerate:
             from ..search.bounds import greedy_upper_bound
 
             ub = greedy_upper_bound(self.problem, self.heuristic, beam=32)
         else:
-            ub = int(INF)
+            ub = int(INF)  # see engine._run_once: O != E or degenerate weights
         tab = self._init(jnp.asarray(root_h))
         counters = jnp.asarray(np.array([INF, 0, 0, 0], dtype=np.int32))
         shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
