@@ -562,13 +562,12 @@ def _select(st: _Static, tab, goal_g, thr):
 
 def _adapt_thr(thr, n_selected, B):
     """Feedback controller for the selection threshold: widen when batches
-    under-fill (frontier spread over many f values), shrink only when
-    completely full (per-step cost is ~constant on a latency-bound backend,
-    so fuller batches = fewer steps = faster, worth a little f-slack)."""
-    widen = n_selected < (B - B // 8)
-    shrink = n_selected >= B
+    under-fill (frontier spread over many f values), shrink when full
+    (minimise slack-induced reopens)."""
+    widen = n_selected < (B // 2)
+    shrink = n_selected >= (B - B // 8)
     return jnp.where(widen, thr * 2 + 32,
-                     jnp.where(shrink, (thr * 3) // 4, thr)).astype(jnp.int32)
+                     jnp.where(shrink, thr // 2, thr)).astype(jnp.int32)
 
 
 def _make_step(st: _Static):
