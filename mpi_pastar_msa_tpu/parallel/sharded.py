@@ -154,7 +154,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         def body(carry):
             tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
             tab, coords, g, par, f_par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
-            keys, g_c, f_c, mask_c, valid, is_goal, child = _expand(
+            keys, g_c, f_c, mask_c, valid, is_goal, child, _ = _expand(
                 st, coords, g, par, active, f_par, htab, henc
             )
             valid = valid & (f_c <= ub[0])  # admissible UB pruning

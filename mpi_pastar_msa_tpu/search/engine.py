@@ -149,10 +149,26 @@ class _Static:
             tabs >= 2**29, 0, tabs
         )  # zero padding: padded cells only reachable from masked-out successors
         self.d_tables = jnp.asarray(stacked.reshape(-1))
+        # T4-contiguous layout: the 4 cells (i,j),(i,j+1),(i+1,j),(i+1,j+1)
+        # stored as one 4-word row, so the per-(node,pair) heuristic gather is
+        # a contiguous row gather (~4x cheaper than 4 scattered elements).
+        if P * self.S * self.S * 16 <= (512 << 20):
+            t4 = np.zeros((P, self.S, self.S, 4), dtype=np.int32)
+            t4[:, :-1, :-1, 0] = stacked[:, :-1, :-1]
+            t4[:, :-1, :-1, 1] = stacked[:, :-1, 1:]
+            t4[:, :-1, :-1, 2] = stacked[:, 1:, :-1]
+            t4[:, :-1, :-1, 3] = stacked[:, 1:, 1:]
+            self.d_tables4 = jnp.asarray(t4.reshape(-1, 4))
+        else:
+            self.d_tables4 = self.d_tables
 
         self.d_final = jnp.asarray(problem.final_coord.astype(np.int32))
         self.final_np = problem.final_coord.astype(np.int32)
         self.max_probes = 128
+        # packed-mode layout: key row = [key words..., h]; best word =
+        # (f << nb) | parent-mask (min-f == min-g per coord since h is fixed)
+        self.nb = n
+        self.KW = self.W + 1
 
 
 def _pack_keys(coords: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -276,8 +292,11 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
     cx = jnp.clip(cx, 0, S - 2)
     cy = jnp.clip(cy, 0, S - 2)
     idx00 = base + cx * S + cy
-    off = jnp.asarray(np.array([0, 1, S, S + 1], dtype=np.int32))
-    t4 = jnp.take(htab, idx00[:, :, None] + off[None, None, :], axis=0)
+    if htab.ndim == 2:  # T4-contiguous (P*S*S, 4) layout: one row gather
+        t4 = jnp.take(htab, idx00, axis=0)  # (B, P, 4)
+    else:
+        off = jnp.asarray(np.array([0, 1, S, S + 1], dtype=np.int32))
+        t4 = jnp.take(htab, idx00[:, :, None] + off[None, None, :], axis=0)
     # (B, P, 4) int32 in one gather; order k=2i+j matches Ind
     t4w = t4 * st.d_w[None, :, None]  # (B, P, 4) int32, < 2^24-ish
     hi = (t4w >> 12).astype(jnp.float32).reshape(B, 4 * P)
@@ -311,6 +330,7 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
         valid.reshape(-1),
         is_goal.reshape(-1),
         child.reshape(B * M, n),
+        h.reshape(-1),
     )
 
 
@@ -563,19 +583,447 @@ def _select(st: _Static, tab, goal_g, thr):
 def _adapt_thr(thr, n_selected, B):
     """Feedback controller for the selection threshold: widen when batches
     under-fill (frontier spread over many f values), shrink when full
-    (minimise slack-induced reopens)."""
+    (minimise slack-induced reopens).  Clamped so repeated widening on a
+    stalled frontier can never overflow f + thr arithmetic."""
     widen = n_selected < (B // 2)
     shrink = n_selected >= (B - B // 8)
-    return jnp.where(widen, thr * 2 + 32,
-                     jnp.where(shrink, thr // 2, thr)).astype(jnp.int32)
+    return jnp.minimum(
+        jnp.where(widen, thr * 2 + 32,
+                  jnp.where(shrink, thr // 2, thr)),
+        np.int32(1 << 20),
+    ).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Packed-table fast path.
+#
+# When the admissible upper bound fits (2*UB << n < 2^31, true for every
+# realistic input), the whole per-slot state collapses into:
+#
+#   t_key    (C, W+1) uint32  [key words..., h]   written once at claim time
+#   t_best   (C,)     int32   (f << n) | parent-mask, min over all inserts
+#   t_closed (C,)     int32   snapshot of t_best taken when the slot was
+#                             selected (closed); "open" == best < closed
+#
+# Because h is a function of the coordinate alone, min-f == min-g per slot, so
+# ONE scatter-min on t_best replaces the unpacked path's g-min + f/par/state
+# writes — and f/par are updated atomically (they live in one word).  Reopen
+# semantics are exact: a strictly better path makes best < closed (open
+# again); an equal-g reinsert leaves best == closed (stays closed), matching
+# the reference's `<` rule (ref: pastar/PAStar.cpp:226-231).  Selection closes
+# a slot by copying best into closed (a B-sized scatter).
+#
+# Candidate compaction is done by scatter-ing only the source index and then
+# row-GATHERING the packed fields: on TPU, scatters cost ~12 ns/element with
+# no contiguity win, while row gathers amortise to ~2 ns/element, so
+# gather-side compaction is ~4x cheaper than the scatter-side packing the
+# unpacked path uses.
+# ---------------------------------------------------------------------------
+
+INFP = np.int32(0x7FFFFFFF)  # empty/infinite packed (f,par) word
+
+
+def _compact_gather(valid, nv, Lc, cols):
+    """Compact `cols` (L, K) rows where `valid` into (Lc, K).
+
+    Scatter the source index (one word per row), then gather rows — the cheap
+    direction on TPU.  Returns (rows, lane_valid, count)."""
+    L = cols.shape[0]
+    cnt = nv[-1]
+    pos = jnp.where(valid, nv - 1, Lc)
+    inv = jnp.zeros((Lc,), jnp.int32).at[pos].set(
+        jnp.arange(L, dtype=jnp.int32), mode="drop"
+    )
+    crows = cols[inv]
+    cvalid = jnp.arange(Lc) < cnt
+    return crows, cvalid, cnt
+
+
+def _probe_body_packed_factory(st: _Static, keys, h_arr, h0, idx_orig, step_tag):
+    """One probing round over fixed candidate arrays (packed layout).
+
+    Key rows are (KW,) = [key words, h]; h rides along in the winner write so
+    it is stored exactly once per slot."""
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    Lfull = np.uint32(st.B * st.M)
+    W = st.W
+    krow_new = jnp.concatenate(
+        [keys, h_arr.astype(jnp.uint32)[:, None]], axis=1
+    )  # (X, KW)
+
+    def body(carry):
+        r, done, slot_out, t_key, claim = carry
+        slot = _probe_slot(h0, r, Cmask)
+        probe_slot = jnp.where(done, C, slot)
+        k_at = t_key[jnp.clip(slot, 0, C - 1)]  # (X, KW)
+        occ = k_at[:, 0] != _EMPTY_WORD
+        match = jnp.all(k_at[:, :W] == keys, axis=1) & occ & ~done
+        empty = ~occ & ~done
+
+        tag = (step_tag * np.uint32(st.max_probes) + r.astype(jnp.uint32)) * Lfull + idx_orig
+        claim = claim.at[jnp.where(empty, probe_slot, C)].set(tag, mode="drop")
+        won = empty & (claim[jnp.clip(slot, 0, C - 1)] == tag)
+        t_key = t_key.at[jnp.where(won, probe_slot, C)].set(krow_new, mode="drop")
+        # losers re-check: the slot may now hold an equal key written this round
+        k_at2 = t_key[jnp.clip(slot, 0, C - 1)]
+        match2 = jnp.all(k_at2[:, :W] == keys, axis=1) & ~done & ~won & ~match
+
+        settled = match | won | match2
+        slot_out = jnp.where(settled, slot, slot_out)
+        done = done | settled
+        return r + 1, done, slot_out, t_key, claim
+
+    return body
+
+
+def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
+                        step_tag):
+    """Probe + place at the given (static) candidate width — packed layout.
+
+    Structure is driven by measured TPU access costs (~12-14 ns per scattered
+    element, row gathers ~4x cheaper than the equivalent scatter) and by the
+    measured candidate mix: the vast majority of candidates settle in their
+    very first probe (match an existing key, or win an empty slot) while the
+    load factor stays moderate, and the rest need a handful of rounds.  So:
+
+      round 0 (full width): ONE key-row gather + claim scatter + claim
+        gather.  Key WRITES are deferred out of the round and done once,
+        compacted to the winner subset (full-width row scatters are the
+        single most expensive op otherwise).  Deferral is safe: same-key
+        claim losers re-probe their slot in the tail and match the winner's
+        now-visible key.
+
+      tail (1/8 width): unsettled candidates are compacted by
+        scatter-index + row-gather and looped to settlement with the
+        standard claim protocol (direct key writes — cheap at tail width).
+        If they ever exceed the tail buffer (early search, empty table),
+        a full-width fallback loop runs instead.
+
+      placement: ONE scatter-min on the packed (f,par) word.
+    """
+    t_key, t_best, t_closed = tab
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    L = keys.shape[0]
+    W = st.W
+    R = st.max_probes
+    h0 = _hash_keys(keys)
+    idx = jnp.arange(L, dtype=jnp.uint32)
+    Lfull = np.uint32(st.B * st.M)
+
+    # ---- round 0: probe, claim, NO key writes ----
+    slot0 = _probe_slot(h0, jnp.int32(0), Cmask)
+    probe_slot = jnp.where(valid, slot0, C)
+    k_at = t_key[jnp.clip(slot0, 0, C - 1)]  # (L, KW)
+    occ = k_at[:, 0] != _EMPTY_WORD
+    match = jnp.all(k_at[:, :W] == keys, axis=1) & occ & valid
+    empty = ~occ & valid
+    tag = step_tag * np.uint32(st.max_probes) * Lfull + idx
+    claim = claim.at[jnp.where(empty, probe_slot, C)].set(tag, mode="drop")
+    won = empty & (claim[jnp.clip(slot0, 0, C - 1)] == tag)
+    done = match | won
+    slot = jnp.where(done, slot0, C)
+
+    # ---- winner key writes, compacted when few ----
+    krow = jnp.concatenate([keys, h_arr.astype(jnp.uint32)[:, None]], axis=1)
+    Wn = max(L // 8, 256)
+
+    def write_full(t_key):
+        return t_key.at[jnp.where(won, slot0, C)].set(krow, mode="drop")
+
+    if Wn < L:
+        nvw = _prefix_sum(won.astype(jnp.int32))
+        wcnt = nvw[-1]
+
+        def write_compact(t_key):
+            cols = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(krow, jnp.int32),
+                 slot0[:, None]], axis=1)
+            rows, lane_ok, _ = _compact_gather(won, nvw, Wn, cols)
+            wk = jax.lax.bitcast_convert_type(rows[:, : st.KW], jnp.uint32)
+            ws = rows[:, st.KW]
+            return t_key.at[jnp.where(lane_ok, ws, C)].set(wk, mode="drop")
+
+        t_key = jax.lax.cond(wcnt <= Wn, write_compact, write_full, t_key)
+    else:
+        t_key = write_full(t_key)
+
+    # ---- tail rounds for the unsettled ----
+    un = valid & ~done
+    body = _probe_body_packed_factory(st, keys, h_arr, h0, idx, step_tag)
+
+    def cond_wide(carry):
+        r, dn, _, _, _ = carry
+        return (r < R) & jnp.any(~dn)
+
+    Xn = max(L // 8, 1024)
+    if Xn < L:
+        nv = _prefix_sum(un.astype(jnp.int32))
+        ucnt = nv[-1]
+        fits = ucnt <= Xn
+
+        def narrow_path(op):
+            t_key, claim, done, slot = op
+            cols = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(keys, jnp.int32).reshape(L, -1),
+                 h_arr[:, None]], axis=1)
+            rows, lane_ok, cnt = _compact_gather(un, nv, Xn, cols)
+            nkeys = jax.lax.bitcast_convert_type(rows[:, :W], jnp.uint32)
+            nh = rows[:, W]
+            nh0 = _hash_keys(nkeys)
+            nidx = jnp.arange(Xn, dtype=jnp.uint32)
+            nbody = _probe_body_packed_factory(st, nkeys, nh, nh0, nidx, step_tag)
+            ncarry = (jnp.int32(0), ~lane_ok,
+                      jnp.full((Xn,), C, dtype=jnp.int32), t_key, claim)
+            _, ndone, nslot, t_key, claim = jax.lax.while_loop(
+                cond_wide, nbody, ncarry)
+            pos = jnp.where(un, nv - 1, Xn)
+            posc = jnp.clip(pos, 0, Xn - 1)
+            slot = jnp.where(un, nslot[posc], slot)
+            done = jnp.where(un, ndone[posc] & (posc < cnt), done)
+            return t_key, claim, done, slot
+
+        def wide_path(op):
+            t_key, claim, done, slot = op
+            carry = (jnp.int32(0), done | ~valid, slot, t_key, claim)
+            _, dn, slot, t_key, claim = jax.lax.while_loop(cond_wide, body, carry)
+            done = dn & valid
+            return t_key, claim, done, slot
+
+        t_key, claim, done, slot = jax.lax.cond(
+            fits, narrow_path, wide_path, (t_key, claim, done, slot)
+        )
+    else:
+        carry = (jnp.int32(0), done | ~valid, slot, t_key, claim)
+        _, dn, slot, t_key, claim = jax.lax.while_loop(cond_wide, body, carry)
+        done = dn & valid
+
+    # ---- placement: one scatter-min ----
+    # (reopens are counted at selection time — a closed slot becoming open
+    # again is observed there for the price of a B-wide gather)
+    overflow = jnp.sum(valid & ~done)
+    placed = valid & done
+    t_best = t_best.at[jnp.where(placed, slot, C)].min(packed, mode="drop")
+    return (t_key, t_best, t_closed), overflow, claim
+
+
+def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
+                   claim=None, step_tag=None):
+    """Batch insert, packed layout, with adaptive width compaction.
+
+    Mid-search nearly every candidate is valid, but once the goal bound /
+    UB pruning bites (the long tail of the search, where most wall-clock is
+    spent), the valid fraction collapses — so when the valid count fits in a
+    quarter- or half-width buffer, candidates are compacted (scatter-index +
+    row-gather, the cheap direction) and the whole probe/write/place pipeline
+    runs at the reduced width."""
+    L = keys.shape[0]
+    if claim is None:
+        claim = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+    if step_tag is None:
+        step_tag = jnp.uint32(0)
+
+    if L <= 4096:
+        return _insert_core_packed(st, tab, claim, keys, h_arr, packed, valid,
+                                   step_tag)
+
+    nv = _prefix_sum(valid.astype(jnp.int32))
+    cnt = nv[-1]
+
+    def compact_to(Lc):
+        def run(op):
+            tab, claim = op
+            cols = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(keys, jnp.int32).reshape(L, -1),
+                 h_arr[:, None], packed[:, None]],
+                axis=1,
+            )
+            crows, cvalid, _ = _compact_gather(valid, nv, Lc, cols)
+            ckeys = jax.lax.bitcast_convert_type(crows[:, : st.W], jnp.uint32)
+            return _insert_core_packed(st, tab, claim, ckeys, crows[:, st.W],
+                                       crows[:, st.W + 1], cvalid, step_tag)
+        return run
+
+    def full_path(op):
+        tab, claim = op
+        return _insert_core_packed(st, tab, claim, keys, h_arr, packed, valid,
+                                   step_tag)
+
+    def half_or_full(op):
+        return jax.lax.cond(cnt <= L // 2, compact_to(L // 2), full_path, op)
+
+    return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_full,
+                        (tab, claim))
+
+
+def _select_packed(st: _Static, tab, goal_g, thr):
+    """Grouped-argmin batch selection over the packed table.
+
+    Ordering on the packed word IS f-ordering (par in the low bits only
+    breaks ties, deterministically)."""
+    t_key, t_best, t_closed = tab
+    C, B, nb = st.C, st.B, st.nb
+    G = C // B
+
+    is_open = t_best < t_closed
+    f_val = t_best >> nb
+    is_open = is_open & (f_val < goal_g)  # f >= g(goal) can't improve
+    v_open = jnp.where(is_open, t_best, INFP)
+    fmin_p = jnp.min(v_open)
+    fmin = fmin_p >> nb
+    n_open = jnp.sum(is_open)
+
+    cut = (jnp.minimum(fmin + thr + 1, INFP >> nb) << nb) - 1
+    v = jnp.where(v_open <= cut, v_open, INFP).reshape(B, G)
+    j = jnp.argmin(v, axis=1)
+    vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
+    slots = jnp.arange(B, dtype=jnp.int32) * G + j.astype(jnp.int32)
+    active = vmin < INFP
+    n_selected = jnp.sum(active)
+    slot_c = jnp.clip(slots, 0, C - 1)
+
+    rows = t_key[slot_c]  # (B, KW)
+    coords = jnp.stack(
+        [
+            ((rows[:, i // 2] >> (16 * (i % 2))) & 0xFFFF).astype(jnp.int32)
+            for i in range(st.n)
+        ],
+        axis=-1,
+    )
+    h_sel = rows[:, st.W].astype(jnp.int32)
+    g = (vmin >> nb) - h_sel
+    par = vmin & ((1 << nb) - 1)
+    # a previously-closed slot being re-selected is a reopen expansion
+    # (ref counts reopens at enqueue, pastar/PAStar.cpp:231; counting the
+    # resulting re-expansion here is equivalent for the stats table and
+    # costs only a B-wide gather)
+    reopen_ct = jnp.sum(active & (t_closed[slot_c] < INFP))
+    t_closed = t_closed.at[jnp.where(active, slots, C)].set(vmin, mode="drop")
+    return ((t_key, t_best, t_closed), coords, g, par, active,
+            fmin, n_open, n_selected, reopen_ct)
+
+
+def _make_step_packed(st: _Static):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(tab, goal_g, ub, thr, htab, henc):
+        tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = _select_packed(
+            st, tab, goal_g, thr)
+        keys, g_c, f_c, mask_c, valid, is_goal, _, h_c = _expand(
+            st, coords, g, par, active, None, htab, henc)
+        valid = valid & (f_c <= ub)
+        packed = (f_c << st.nb) | mask_c
+        goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
+        tab, overflow, _ = _insert_packed(st, tab, keys, h_c, packed, valid)
+        expanded = jnp.sum(active)
+        thr = _adapt_thr(thr, n_sel, st.B)
+        stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
+        return tab, goal_g, thr, stats
+
+    return step
+
+
+def _make_run_loop_packed(st: _Static):
+    """Chunked on-device driver, packed layout (see _make_run_loop)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(tab, counters, chunk_steps, ub, htab, henc):
+        goal_g0, steps0, expanded0, reopen0, n_open0, overflow0 = (
+            counters[0], counters[2], counters[3],
+            counters[4], counters[5], counters[6],
+        )
+
+        claim0 = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+
+        def cond(carry):
+            tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
+            return (fmin < goal_g) & (local < chunk_steps) & (overflow == 0)
+
+        def body(carry):
+            tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
+            tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = _select_packed(
+                st, tab, goal_g, thr)
+            keys, g_c, f_c, mask_c, valid, is_goal, _, h_c = _expand(
+                st, coords, g, par, active, None, htab, henc)
+            valid = valid & (f_c <= ub)
+            packed = (f_c << st.nb) | mask_c
+            goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
+            tab, ovf, claim = _insert_packed(
+                st, tab, keys, h_c, packed, valid,
+                claim=claim, step_tag=local.astype(jnp.uint32),
+            )
+            thr = _adapt_thr(thr, n_sel, st.B)
+            return (tab, claim, goal_g, fmin, thr, steps + 1,
+                    expanded + jnp.sum(active),
+                    reopen + reopen_ct,
+                    n_open, overflow + ovf, local + 1)
+
+        init = (tab, claim0, goal_g0, jnp.asarray(np.int32(0)),
+                jnp.asarray(np.int32(0)), steps0,
+                expanded0, reopen0, n_open0, overflow0, jnp.asarray(np.int32(0)))
+        tab, _, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        counters = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
+        return tab, counters
+
+    return run_chunk
+
+
+def _make_backtrace_packed(st: _Static):
+    """Device-side path walk over the packed table."""
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    parmask = np.int32((1 << st.nb) - 1)
+
+    @jax.jit
+    def walk(tab, start_coord):
+        t_key, t_best, t_closed = tab
+        tmax = int(st.final_np.sum())
+        rs = jnp.arange(st.max_probes, dtype=jnp.uint32)
+        offs = (rs * (rs + jnp.uint32(1))) >> 1
+
+        def lookup(coord):
+            # all probe positions checked as ONE vectorized row gather — the
+            # same access pattern as the hot path (scalar row indexing inside
+            # a while_loop makes XLA pick a 32x-padded tiled layout: OOM)
+            key = _pack_keys(coord[None, :], st.W)[0]
+            h0 = _hash_keys(key[None, :])[0]
+            slots = ((h0 + offs) & Cmask).astype(jnp.int32)  # (R,)
+            k_at = t_key[slots]  # (R, KW)
+            hits = jnp.all(k_at[:, : st.W] == key[None, :], axis=1) & (
+                k_at[:, 0] != _EMPTY_WORD
+            )
+            found = jnp.any(hits)
+            slot = slots[jnp.argmax(hits)]
+            val = t_best[slot] & parmask
+            return jnp.where(found, val, 0), found
+
+        def scan_body(carry, _):
+            coord, done = carry
+            par, found = lookup(coord)
+            at_origin = jnp.all(coord == 0)
+            emit = ~done & ~at_origin & found
+            mask = jnp.where(emit, par, 0)
+            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
+            coord = jnp.where(emit, coord - bits, coord)
+            done = done | at_origin | ~found
+            return (coord, done), mask
+
+        (coord_fin, _), masks = jax.lax.scan(
+            scan_body, (start_coord, False), None, length=tmax
+        )
+        return masks, coord_fin
+
+    return walk
 
 
 def _make_step(st: _Static):
     @partial(jax.jit, donate_argnums=(0,))
     def step(tab, goal_g, ub, thr, htab, henc):
         tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
-        keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par,
-                                                            htab, henc)
+        keys, g_c, f_c, mask_c, valid, is_goal, _, _ = _expand(st, coords, g, par, active, f_par,
+                                                               htab, henc)
         valid = valid & (f_c <= ub)  # admissible UB pruning (see run_chunk)
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
         tab, reopen_ct, overflow, _ = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
@@ -617,8 +1065,8 @@ def _make_run_loop(st: _Static):
         def body(carry):
             tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
             tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
-            keys, g_c, f_c, mask_c, valid, is_goal, _ = _expand(st, coords, g, par, active, f_par,
-                                                                htab, henc)
+            keys, g_c, f_c, mask_c, valid, is_goal, _, _ = _expand(st, coords, g, par, active, f_par,
+                                                                   htab, henc)
             # upper-bound pruning: with admissible h, no optimal-path node has
             # f > UB (a complete-path cost), so dropping them keeps optimality
             # while capping the frontier flood at best-first levels
@@ -714,7 +1162,9 @@ class TpuFrontierSearch:
                 lattice *= int(L) + 1
                 if lattice > (1 << 27):
                     break
-            capacity = min(1 << 24, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 24))))
+            # probe chains (and with them the whole insert tail) blow up past
+            # ~25% load, so size generously: ~1 GB of table arrays at 2^25
+            capacity = min(1 << 25, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 25))))
         batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.st = _Static(problem, self.heuristic, batch, capacity)
@@ -726,11 +1176,61 @@ class TpuFrontierSearch:
         self.checkpoint_every = checkpoint_every
         self.hash_type = hash_type
         self.hash_shift = hash_shift
-        self._step = _make_step(self.st)
-        self._run_loop = _make_run_loop(self.st)
-        self._walk = _make_backtrace(self.st)
+
+        # Upper bound + packed-mode eligibility (decided once per problem).
+        from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
+        from .bounds import greedy_upper_bound
+
+        wi = self.heuristic.weight_i
+        self.degenerate = bool((wi[~np.eye(n, dtype=bool)] <= 0).any())
+        if _O == _E and not self.degenerate:
+            # wider beams tighten the bound; on big searches every unit of UB
+            # slack admits a shell of extra open nodes, so spend more there
+            beam = 256 if self.st.C >= (1 << 22) else 32
+            self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
+        else:
+            self.ub = int(INF)
+        # packed layout needs every in-flight f (< 2*UB + max edge) to fit
+        # above the n parent-mask bits of an int32
+        self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
+        self._make_fns()
+
+    def _make_fns(self):
+        if self.packed:
+            self._step = _make_step_packed(self.st)
+            self._run_loop = _make_run_loop_packed(self.st)
+            self._walk = _make_backtrace_packed(self.st)
+        else:
+            self._step = _make_step(self.st)
+            self._run_loop = _make_run_loop(self.st)
+            self._walk = _make_backtrace(self.st)
+
+    def _init_table_packed(self):
+        st = self.st
+        C = st.C
+        t_key = jnp.full((C, st.KW), _EMPTY_WORD, dtype=jnp.uint32)
+        t_best = jnp.full((C,), INFP, dtype=jnp.int32)
+        t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
+        root = np.zeros((1, st.n), dtype=np.int32)
+        key = np.asarray(_pack_keys(jnp.asarray(root), st.W))[0]
+        h0 = int(np.asarray(_hash_keys(jnp.asarray(key)[None, :]))[0]) & (C - 1)
+        h_root = self.heuristic.calculate_h(root[0])
+        krow = np.concatenate([key, np.array([h_root], dtype=np.uint32)])
+        t_key = t_key.at[h0].set(jnp.asarray(krow))
+        t_best = t_best.at[h0].set(
+            np.int32((h_root << st.nb) | self.problem.root_parent_mask)
+        )
+        return (t_key, t_best, t_closed)
 
     def _init_table(self):
+        if self.packed:
+            return self._init_table_packed()
+        return self._init_table_unpacked()
+
+    def _htab_arg(self):
+        return self.st.d_tables4 if self.packed else self.st.d_tables
+
+    def _init_table_unpacked(self):
         st = self.st
         C, W = st.C, st.W
         t_key = jnp.full((C, W), _EMPTY_WORD, dtype=jnp.uint32)
@@ -762,7 +1262,7 @@ class TpuFrontierSearch:
         goal_found = int(INF)
         while steps < self.max_steps:
             tab, goal_g, thr, stats = self._step(tab, goal_g, ub_dev, thr,
-                                                 self.st.d_tables, self.st.d_enc)
+                                                 self._htab_arg(), self.st.d_enc)
             sv = np.asarray(stats)
             steps += 1
             goal_found = int(sv[0])
@@ -788,7 +1288,7 @@ class TpuFrontierSearch:
         h = hashlib.sha256()
         for s in self.problem.seqs:
             h.update(s.encode())
-        h.update(f"{self.st.B}:{self.st.C}:{self.st.W}".encode())
+        h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{int(self.packed)}".encode())
         return h.hexdigest()[:16]
 
     def _save_checkpoint(self, tab, counters) -> None:
@@ -797,12 +1297,12 @@ class TpuFrontierSearch:
         import os
 
         tmp = self.checkpoint_path + ".tmp"
+        arrays = {f"tab{i}": np.asarray(a) for i, a in enumerate(tab)}
         np.savez_compressed(
             tmp,
             meta=np.frombuffer(self._ckpt_meta().encode(), dtype=np.uint8),
-            t_key=np.asarray(tab[0]), t_g=np.asarray(tab[1]),
-            t_f=np.asarray(tab[2]), t_par=np.asarray(tab[3]),
-            t_state=np.asarray(tab[4]), counters=np.asarray(counters),
+            ntab=np.int32(len(tab)), counters=np.asarray(counters),
+            **arrays,
         )
         os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
                    self.checkpoint_path)
@@ -814,57 +1314,42 @@ class TpuFrontierSearch:
             return None, None
         z = np.load(self.checkpoint_path)
         meta = bytes(z["meta"]).decode()
-        if meta != self._ckpt_meta():
-            return None, None  # different problem/config; start fresh
-        tab = tuple(jnp.asarray(z[k]) for k in
-                    ("t_key", "t_g", "t_f", "t_par", "t_state"))
+        if meta != self._ckpt_meta() or "ntab" not in z:
+            return None, None  # different problem/config/format; start fresh
+        tab = tuple(jnp.asarray(z[f"tab{i}"]) for i in range(int(z["ntab"])))
         return tab, jnp.asarray(z["counters"])
 
     def run(self) -> TpuSearchResult:
         """Run to the provably optimal goal; on table overflow the capacity is
-        doubled (up to 2^25) and the search restarts — the functional analogue
+        doubled (up to 2^26) and the search restarts — the functional analogue
         of growing the reference's std::map closed lists."""
         attempts = 0
         while True:
             try:
                 return self._run_once()
             except RuntimeError as e:
-                if "overflow" not in str(e) or attempts >= 2 or self.st.C >= (1 << 25):
+                if "overflow" not in str(e) or attempts >= 2 or self.st.C >= (1 << 26):
                     raise
                 attempts += 1
                 self.st = _Static(self.problem, self.heuristic, self.st.B,
                                   self.st.C * 2)
-                self._step = _make_step(self.st)
-                self._run_loop = _make_run_loop(self.st)
-                self._walk = _make_backtrace(self.st)
+                self._make_fns()
 
     def _run_once(self) -> TpuSearchResult:
         st = self.st
-        from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
+        ub = self.ub
+        if self.degenerate:
+            # pruning assumes positive pair weights (degenerate inputs can
+            # yield non-positive rationale-2 weights, i.e. negative edge
+            # costs — optimality is undefined there, as in the reference)
+            import warnings
 
-        wi = self.heuristic.weight_i
-        degenerate = bool((wi[~np.eye(self.st.n, dtype=bool)] <= 0).any())
-        if _O == _E and not degenerate:
-            from .bounds import greedy_upper_bound
-
-            # wider beams tighten the bound; on big searches every unit of UB
-            # slack admits a shell of extra open nodes, so spend more there
-            beam = 256 if self.st.C >= (1 << 22) else 32
-            ub = greedy_upper_bound(self.problem, self.heuristic, beam=beam)
-        else:
-            # pruning assumes O == E and positive pair weights (degenerate
-            # inputs can yield non-positive rationale-2 weights, i.e. negative
-            # edge costs — optimality is undefined there, as in the reference)
-            if degenerate:
-                import warnings
-
-                warnings.warn(
-                    "non-positive Altschul pair weights detected: edge costs "
-                    "can be negative, so A* optimality is undefined for this "
-                    "input (the reference has the same limitation)",
-                    RuntimeWarning, stacklevel=3,
-                )
-            ub = int(INF)
+            warnings.warn(
+                "non-positive Altschul pair weights detected: edge costs "
+                "can be negative, so A* optimality is undefined for this "
+                "input (the reference has the same limitation)",
+                RuntimeWarning, stacklevel=3,
+            )
         if self.driver == "host":
             return self._run_host_driver(ub)
         tab, counters = self._load_checkpoint()
@@ -893,7 +1378,7 @@ class TpuFrontierSearch:
                 _t0 = _time.perf_counter()
                 tab, counters = self._run_loop(
                     tab, counters, jnp.asarray(np.int32(chunk_now)), ub_dev,
-                    self.st.d_tables, self.st.d_enc,
+                    self._htab_arg(), self.st.d_enc,
                 )
                 stats_np = np.asarray(counters)  # 1 small transfer per chunk
                 _dt = _time.perf_counter() - _t0

@@ -34,7 +34,7 @@ class TestExpandParity:
         pj = jnp.asarray(np.array(parentis, dtype=np.int32))
         act = jnp.ones(4, bool)
         expand = jax.jit(lambda c, g, pp, a: E._expand(st, c, g, pp, a))
-        _, g_c, f_c, _, valid, _, _ = expand(cj, gj, pj, act)
+        _, g_c, f_c, _, valid, _, _, _ = expand(cj, gj, pj, act)
         g_c = np.asarray(g_c).reshape(4, st.M)
         f_c = np.asarray(f_c).reshape(4, st.M)
         valid = np.asarray(valid).reshape(4, st.M)
