@@ -42,14 +42,17 @@ from ..utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
 from ..search.engine import (
     INF,
+    INFP,
     _EMPTY_WORD,
     _Static,
     _expand,
     _hash_keys,
     _insert,
+    _insert_packed,
     _pack_keys,
     _probe_slot,
     _select,
+    _select_packed,
 )
 from .partition import owner_fn
 
@@ -109,6 +112,186 @@ def _route(st: _Static, ndev: int, owner, coords, keys, g_c, f_c, mask_c, valid)
     rk = xch(buf_k)
     rvalid = rk[:, 0] != _EMPTY_WORD
     return rk, rg, rf, rm, rvalid
+
+
+def _route_packed(st: _Static, ndev: int, owner, coords, keys, h_c, packed, valid):
+    """Packed-layout migration: sort by destination shard, one tiled
+    all_to_all per field (keys + h + packed word — the whole node state)."""
+    L = keys.shape[0]
+    dest = jnp.where(valid, owner(coords), ndev).astype(jnp.int32)
+
+    key_w = [keys[:, w].astype(jnp.uint32) for w in range(st.W)]
+    sort_in = (dest, packed, h_c) + tuple(key_w)
+    sorted_vals = jax.lax.sort(sort_in, num_keys=1)
+    dest_s, packed_s, h_s = sorted_vals[:3]
+    keys_s = jnp.stack(sorted_vals[3:], axis=-1)
+
+    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest_s].add(1, mode="drop")
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    idx = jnp.arange(L, dtype=jnp.int32)
+    col = idx - starts[jnp.clip(dest_s, 0, ndev)]
+
+    flat = jnp.where(dest_s < ndev, dest_s * L + col, ndev * L)
+    buf_p = jnp.full((ndev * L,), INFP, jnp.int32).at[flat].set(packed_s, mode="drop")
+    buf_h = jnp.zeros((ndev * L,), jnp.int32).at[flat].set(h_s, mode="drop")
+    buf_k = jnp.full((ndev * L, st.W), _EMPTY_WORD, jnp.uint32).at[flat].set(
+        keys_s, mode="drop"
+    )
+
+    def xch(x):
+        return jax.lax.all_to_all(
+            x.reshape((ndev, L) + x.shape[1:]), AXIS, 0, 0, tiled=False
+        ).reshape((ndev * L,) + x.shape[1:])
+
+    rp = xch(buf_p)
+    rh = xch(buf_h)
+    rk = xch(buf_k)
+    rvalid = rk[:, 0] != _EMPTY_WORD
+    return rk, rh, rp, rvalid
+
+
+def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
+                             hash_type: str, hash_shift: int):
+    """Packed-layout sharded search (see engine.py packed-path notes)."""
+    own = owner_fn(hash_type, ndev, hash_shift)
+    root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
+    goal_owner_np = int(own(st.final_np[None, :])[0])
+
+    def init_fn(root_h_arr):
+        dev = jax.lax.axis_index(AXIS)
+        C = st.C
+        t_key = jnp.full((C, st.KW), _EMPTY_WORD, dtype=jnp.uint32)
+        t_best = jnp.full((C,), INFP, dtype=jnp.int32)
+        t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
+
+        root = jnp.zeros((1, st.n), dtype=jnp.int32)
+        rkey = _pack_keys(root, st.W)[0]
+        slot = (_hash_keys(rkey[None, :])[0] & np.uint32(C - 1)).astype(jnp.int32)
+        is_owner = dev == root_owner
+        wslot = jnp.where(is_owner, slot, C)
+        krow = jnp.concatenate([rkey, root_h_arr.astype(jnp.uint32)])
+        t_key = t_key.at[wslot].set(krow, mode="drop")
+        t_best = t_best.at[wslot].set(
+            (root_h_arr[0] << st.nb) | ((1 << st.n) - 1), mode="drop")
+        return t_key, t_best, t_closed
+
+    def chunk_fn(t_key, t_best, t_closed, counters, shard_ctr,
+                 chunk_steps, ub, htab, henc):
+        tab = (t_key, t_best, t_closed)
+        goal0, steps0 = counters[0], counters[2]
+        exp0, reop0 = shard_ctr[0], shard_ctr[1]
+
+        claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+
+        def cond(carry):
+            _, _, goal_g, fmin_g, thr, steps, _, _, _, ovf, local = carry
+            return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
+
+        def body(carry):
+            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
+            tab, coords, g, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
+                _select_packed(st, tab, goal_g, thr))
+            keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
+                st, coords, g, par, active, None, htab, henc
+            )
+            valid = valid & (f_c <= ub[0])
+            packed = (f_c << st.nb) | mask_c
+            goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
+            rk, rh, rp, rvalid = _route_packed(
+                st, ndev, own, child, keys, h_c, packed, valid
+            )
+            tab, ovf_l, claim = _insert_packed(
+                st, tab, rk, rh, rp, rvalid,
+                claim=claim, step_tag=local.astype(jnp.uint32),
+            )
+            # global consensus (the two MPI_Allreduce analogues,
+            # ref: pastar/PAStar.cpp:502-519)
+            goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
+            fmin_g = jax.lax.pmin(fmin_l, AXIS)
+            from ..search.engine import _adapt_thr
+
+            thr = _adapt_thr(thr, jax.lax.psum(n_sel, AXIS), st.B * ndev)
+            return (tab, claim, goal_g, fmin_g, thr, steps + 1,
+                    expanded + jnp.sum(active),
+                    reopen + reopen_ct,
+                    n_open_l,
+                    ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
+
+        z32 = jnp.asarray(np.int32(0))
+        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, z32, z32)
+        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, _ = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        closed_ct = jnp.sum(tab[1] >= tab[2]).astype(jnp.int32) - jnp.sum(
+            tab[1] == INFP).astype(jnp.int32)
+        stats = jnp.stack([goal_g, fmin_g, steps, ovf])
+        shard_stats = jnp.stack([expanded, reopen, closed_ct, n_open])
+        return tab + (stats, shard_stats)
+
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
+    init_jit = jax.jit(jax.shard_map(
+        init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
+        check_vma=False,
+    ))
+    chunk_jit = jax.jit(jax.shard_map(
+        chunk_fn, mesh=mesh,
+        in_specs=spec_tab + (P(None), P(AXIS), P(None), P(None), P(None), P(None)),
+        out_specs=spec_tab + (P(None), P(AXIS)),
+        check_vma=False,
+    ), donate_argnums=(0, 1, 2))
+    return init_jit, chunk_jit, goal_owner_np
+
+
+def _make_sharded_walk_packed(st: _Static, mesh: Mesh, ndev: int):
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    parmask = np.int32((1 << st.nb) - 1)
+
+    def device_fn(t_key, t_best, t_closed, start):
+        tmax = int(st.final_np.sum())
+        rs = jnp.arange(st.max_probes, dtype=jnp.uint32)
+        offs = (rs * (rs + jnp.uint32(1))) >> 1
+
+        def lookup(coord):
+            key = _pack_keys(coord[None, :], st.W)[0]
+            h0 = _hash_keys(key[None, :])[0]
+            slots = ((h0 + offs) & Cmask).astype(jnp.int32)
+            k_at = t_key[slots]  # (R, KW)
+            hits = jnp.all(k_at[:, : st.W] == key[None, :], axis=1) & (
+                k_at[:, 0] != _EMPTY_WORD
+            )
+            found = jnp.any(hits)
+            slot = slots[jnp.argmax(hits)]
+            val = jnp.where(found, t_best[slot] & parmask, 0)
+            # owner shard answers; psum broadcasts to everyone
+            val = jax.lax.psum(val, AXIS)
+            found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
+            return val, found
+
+        def scan_body(carry, _):
+            coord, done = carry
+            par, found = lookup(coord)
+            at_origin = jnp.all(coord == 0)
+            emit = ~done & ~at_origin & found
+            mask = jnp.where(emit, par, 0)
+            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
+            coord = jnp.where(emit, coord - bits, coord)
+            done = done | at_origin | ~found
+            return (coord, done), mask
+
+        (coord_fin, _), masks = jax.lax.scan(
+            scan_body, (start, False), None, length=tmax
+        )
+        return masks, coord_fin
+
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
+    fn = jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=spec_tab + (P(None),),
+        out_specs=(P(None), P(None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_shift: int):
@@ -296,37 +479,60 @@ class ShardedFrontierSearch:
         self.chunk_steps = chunk_steps
         self.hash_type = hash_type
         self.hash_shift = hash_shift
-        self._init, self._chunk, self._goal_owner = _make_sharded_run(
-            self.st, self.mesh, self.ndev, hash_type, hash_shift
-        )
-        self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
+
+        # packed-mode eligibility, mirroring the single-chip engine
+        from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
+        from ..search.bounds import greedy_upper_bound
+
+        wi = self.heuristic.weight_i
+        self.degenerate = bool((wi[~np.eye(n, dtype=bool)] <= 0).any())
+        if _O == _E and not self.degenerate:
+            beam = 256 if self.st.C * self.ndev >= (1 << 22) else 32
+            self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
+        else:
+            self.ub = int(INF)
+        self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
+        if self.packed:
+            self._init, self._chunk, self._goal_owner = _make_sharded_run_packed(
+                self.st, self.mesh, self.ndev, hash_type, hash_shift
+            )
+            self._walk = _make_sharded_walk_packed(self.st, self.mesh, self.ndev)
+            self._ntab = 3
+        else:
+            self._init, self._chunk, self._goal_owner = _make_sharded_run(
+                self.st, self.mesh, self.ndev, hash_type, hash_shift
+            )
+            self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
+            self._ntab = 5
 
     def run(self) -> ShardedSearchResult:
         st = self.st
         root_h = np.array([self.heuristic.calculate_h(np.zeros(st.n, np.int32))],
                           dtype=np.int32)
-        from ..core.cost import GAP_EXTENSION as _E, GAP_OPEN as _O
+        ub = self.ub
+        if self.degenerate:
+            import warnings
 
-        wi = self.heuristic.weight_i
-        degenerate = bool((wi[~np.eye(st.n, dtype=bool)] <= 0).any())
-        if _O == _E and not degenerate:
-            from ..search.bounds import greedy_upper_bound
-
-            ub = greedy_upper_bound(self.problem, self.heuristic, beam=32)
-        else:
-            ub = int(INF)  # see engine._run_once: O != E or degenerate weights
+            warnings.warn(
+                "non-positive Altschul pair weights detected: edge costs "
+                "can be negative, so A* optimality is undefined for this "
+                "input (the reference has the same limitation)",
+                RuntimeWarning, stacklevel=2,
+            )
         tab = self._init(jnp.asarray(root_h))
         counters = jnp.asarray(np.array([INF, 0, 0, 0], dtype=np.int32))
         shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
         ub_dev = jnp.asarray([np.int32(ub)])
         chunk_now = self.chunk_steps
+        nt = self._ntab
         import time as _time
         while True:
             _t0 = _time.perf_counter()
             out = self._chunk(*tab, counters, shard_ctr,
                               jnp.asarray([np.int32(chunk_now)]), ub_dev,
-                              self.st.d_tables, self.st.d_enc)
-            tab, counters, shard_ctr = out[:5], out[5], out[6]
+                              st.d_tables4 if self.packed else st.d_tables,
+                              self.st.d_enc)
+            tab, counters, shard_ctr = out[:nt], out[nt], out[nt + 1]
             stats_np = np.asarray(counters)
             _dt = _time.perf_counter() - _t0
             # keep each dispatch under the remote-worker watchdog

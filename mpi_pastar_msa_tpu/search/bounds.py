@@ -47,42 +47,38 @@ def greedy_upper_bound(problem: Problem, heuristic: HPairHeuristic,
     const_part = np.where(both, 0, np.where(~bx & ~by, GG, E)) @ pw
 
     def h_of(coords: np.ndarray) -> np.ndarray:
-        """(K, N) -> (K,) heuristic values."""
+        """(K, N) -> (K,) heuristic values (fully vectorized)."""
         out = np.zeros(len(coords), dtype=np.int64)
         for k, (x, y) in enumerate(pairs):
-            out += pw[k] * np.array(
-                [int(tables[k][c[x], c[y]]) for c in coords], dtype=np.int64
-            )
+            out += pw[k] * tables[k][coords[:, x], coords[:, y]].astype(np.int64)
         return out
 
-    states: List[Tuple[np.ndarray, int]] = [(np.zeros(n, dtype=np.int64), 0)]
+    coords = np.zeros((1, n), dtype=np.int64)
+    gs = np.zeros(1, dtype=np.int64)
     best_complete = None
     max_steps = int(final.sum()) + 1
+    rng = np.arange(n)
     for _ in range(max_steps):
-        cand_coords = []
-        cand_g = []
-        for coord, g in states:
-            mm = COST_TABLE[enc[np.arange(n), np.minimum(coord, problem.max_length)][xs],
-                            enc[np.arange(n), np.minimum(coord, problem.max_length)][ys]]
-            edge = const_part + (np.where(both, mm[None, :], 0) * pw).sum(axis=1)
-            child = coord[None, :] + bits  # (M, N)
-            ok = np.all(child <= final[None, :], axis=1)
-            for m in np.nonzero(ok)[0]:
-                cand_coords.append(child[m])
-                cand_g.append(g + int(edge[m]))
-        if not cand_coords:
+        K = len(coords)
+        # edge cost of every (state, mask): match/mismatch term only where
+        # both sequences advance
+        ch = enc[rng[None, :], np.minimum(coords, problem.max_length)]  # (K, N)
+        mm = COST_TABLE[ch[:, xs], ch[:, ys]].astype(np.int64)          # (K, P)
+        edge = const_part[None, :] + (mm[:, None, :] * (both[None, :, :] * pw[None, None, :])).sum(axis=2)  # (K, M)
+        child = coords[:, None, :] + bits[None, :, :]                   # (K, M, N)
+        ok = np.all(child <= final[None, None, :], axis=2)              # (K, M)
+        cand_coords = child[ok]
+        cand_g = (gs[:, None] + edge)[ok]
+        if len(cand_g) == 0:
             break
-        cand_coords = np.array(cand_coords)
-        cand_g = np.array(cand_g, dtype=np.int64)
         # dedup by coordinate, keep min g
-        keys = [tuple(c) for c in cand_coords]
-        best = {}
-        for k_i, (kk, gg) in enumerate(zip(keys, cand_g)):
-            if kk not in best or gg < cand_g[best[kk]]:
-                best[kk] = k_i
-        idx = np.array(sorted(best.values()))
-        cand_coords = cand_coords[idx]
-        cand_g = cand_g[idx]
+        order0 = np.lexsort((cand_g,) + tuple(cand_coords.T))
+        cand_coords = cand_coords[order0]
+        cand_g = cand_g[order0]
+        first = np.ones(len(cand_g), dtype=bool)
+        first[1:] = np.any(cand_coords[1:] != cand_coords[:-1], axis=1)
+        cand_coords = cand_coords[first]
+        cand_g = cand_g[first]
 
         at_goal = np.all(cand_coords == final[None, :], axis=1)
         if at_goal.any():
@@ -95,10 +91,9 @@ def greedy_upper_bound(problem: Problem, heuristic: HPairHeuristic,
             break
         f = cand_g + h_of(cand_coords)
         order = np.argsort(f, kind="stable")[:beam]
-        states = [(cand_coords[i], int(cand_g[i])) for i in order]
-        if best_complete is not None and all(
-            cand_g[i] + 0 >= best_complete for i in order
-        ):
+        coords = cand_coords[order]
+        gs = cand_g[order]
+        if best_complete is not None and bool((gs >= best_complete).all()):
             break
 
     if best_complete is None:
