@@ -487,7 +487,7 @@ class ShardedFrontierSearch:
         wi = self.heuristic.weight_i
         self.degenerate = bool((wi[~np.eye(n, dtype=bool)] <= 0).any())
         if _O == _E and not self.degenerate:
-            beam = 256 if self.st.C * self.ndev >= (1 << 22) else 32
+            beam = 1024 if self.st.C * self.ndev >= (1 << 22) else 32
             self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
         else:
             self.ub = int(INF)

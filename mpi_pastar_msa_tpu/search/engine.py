@@ -824,7 +824,9 @@ def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
     if step_tag is None:
         step_tag = jnp.uint32(0)
 
-    if L <= 4096:
+    # tiering only pays on big searches (its win is the UB-pruned late phase);
+    # for small tables the extra lax.cond branches just triple compile time
+    if L <= 4096 or st.C <= (1 << 20):
         return _insert_core_packed(st, tab, claim, keys, h_arr, packed, valid,
                                    step_tag)
 
@@ -1186,7 +1188,7 @@ class TpuFrontierSearch:
         if _O == _E and not self.degenerate:
             # wider beams tighten the bound; on big searches every unit of UB
             # slack admits a shell of extra open nodes, so spend more there
-            beam = 256 if self.st.C >= (1 << 22) else 32
+            beam = 1024 if self.st.C >= (1 << 22) else 32
             self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
         else:
             self.ub = int(INF)
@@ -1390,6 +1392,16 @@ class TpuFrontierSearch:
             except Exception as e:  # noqa: BLE001
                 if snapshot is None or "UNAVAILABLE" not in str(e):
                     raise
+                # true crash revive: a worker restart invalidates EVERY
+                # device buffer, including the heuristic-table constants in
+                # _Static — rebuild them (host-side data is retained), re-jit
+                # the wrappers (compilation cache makes this cheap), and
+                # resume from the host-side snapshot
+                self.st = _Static(self.problem, self.heuristic, self.st.B,
+                                  self.st.C)
+                self._make_fns()
+                st = self.st
+                ub_dev = jnp.asarray(np.int32(ub))
                 snap_tab, snap_ctr = snapshot
                 tab = tuple(jnp.asarray(a) for a in snap_tab)
                 counters = jnp.asarray(snap_ctr)

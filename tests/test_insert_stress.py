@@ -105,3 +105,109 @@ class TestInsertStress:
         occ = np.nonzero(tk[:, 0] != 0xFFFFFFFF)[0]
         assert len(occ) == 1
         assert int(np.asarray(tab[1])[occ[0]]) == 100
+
+
+class TestInsertPackedStress:
+    """Same protocol stress, packed layout (the production fast path)."""
+
+    def test_randomized_batches_match_model(self):
+        st = _mk_static()
+        C = st.C
+        nb = st.nb
+        rng = random.Random(23)
+        model = {}  # key tuple -> (packed_best, h)
+
+        t_key = jnp.full((C, st.KW), E._EMPTY_WORD, dtype=jnp.uint32)
+        t_best = jnp.full((C,), E.INFP, dtype=jnp.int32)
+        t_closed = jnp.full((C,), E.INFP, dtype=jnp.int32)
+        tab = (t_key, t_best, t_closed)
+        claim = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+
+        L = 96
+        for step in range(12):
+            coords = np.array(
+                [[rng.randint(0, 4), rng.randint(0, 3), rng.randint(0, 3)]
+                 for _ in range(L)], dtype=np.int32,
+            )
+            f = np.array([rng.randint(1, 500) for _ in range(L)], dtype=np.int32)
+            par = np.array([rng.randint(1, 7) for _ in range(L)], dtype=np.int32)
+            # h must be a pure function of the coordinate (as in the engine)
+            h = np.array([(c[0] * 7 + c[1] * 3 + c[2]) % 50 for c in coords],
+                         dtype=np.int32)
+            packed = (f << nb) | par
+            valid = np.array([rng.random() < 0.8 for _ in range(L)])
+
+            keys = np.asarray(E._pack_keys(jnp.asarray(coords), st.W))
+            keys = np.where(valid[:, None], keys, 0xFFFFFFFF).astype(np.uint32)
+
+            tab, ovf, claim = E._insert_packed(
+                st, tab, jnp.asarray(keys), jnp.asarray(h), jnp.asarray(packed),
+                jnp.asarray(valid), claim=claim, step_tag=jnp.uint32(step),
+            )
+            assert int(ovf) == 0
+
+            for i in range(L):
+                if not valid[i]:
+                    continue
+                k = tuple(coords[i])
+                cur = model.get(k)
+                if cur is None or int(packed[i]) < cur[0]:
+                    model[k] = (int(packed[i]), int(h[i]))
+
+            tk = np.asarray(tab[0])
+            tb = np.asarray(tab[1])
+            occupied = tk[:, 0] != 0xFFFFFFFF
+            seen = {}
+            for s in np.nonzero(occupied)[0]:
+                c = tuple(
+                    int((tk[s, j // 2] >> (16 * (j % 2))) & 0xFFFF) for j in range(3)
+                )
+                assert c not in seen, f"duplicate table entry for {c}"
+                seen[c] = s
+                assert c in model, f"unexpected key {c}"
+                assert tb[s] == model[c][0], (c, tb[s], model[c])
+                assert int(tk[s, st.W]) == model[c][1], "h mismatch"
+            assert set(seen) == set(model)
+
+    def test_reopen_semantics_via_select(self):
+        # equal-f reinsert of a closed slot must NOT reopen; strictly better
+        # f must (the reference's `<` rule, pastar/PAStar.cpp:226-231)
+        st = _mk_static(capacity=1 << 8, batch=16)
+        C = st.C
+        nb = st.nb
+        coords = np.array([[1, 1, 1]], dtype=np.int32)
+        keys = np.asarray(E._pack_keys(jnp.asarray(coords), st.W)).astype(np.uint32)
+        h = np.array([5], dtype=np.int32)
+
+        tab = (jnp.full((C, st.KW), E._EMPTY_WORD, dtype=jnp.uint32),
+               jnp.full((C,), E.INFP, dtype=jnp.int32),
+               jnp.full((C,), E.INFP, dtype=jnp.int32))
+
+        def ins(tab, f, par):
+            packed = np.array([(f << nb) | par], dtype=np.int32)
+            tab, ovf, _ = E._insert_packed(
+                st, tab, jnp.asarray(keys), jnp.asarray(h), jnp.asarray(packed),
+                jnp.asarray(np.ones(1, bool)))
+            assert int(ovf) == 0
+            return tab
+
+        def n_open(tab):
+            return int(np.asarray(jnp.sum(tab[1] < tab[2])))
+
+        tab = ins(tab, 100, 3)
+        assert n_open(tab) == 1
+        # close it the way selection does
+        t_key, t_best, t_closed = tab
+        slot = int(np.nonzero(np.asarray(t_key)[:, 0] != 0xFFFFFFFF)[0][0])
+        t_closed = t_closed.at[slot].set(t_best[slot])
+        tab = (t_key, t_best, t_closed)
+        assert n_open(tab) == 0
+        tab = ins(tab, 100, 5)  # equal f, different par -> par 5 > 3 loses; stays closed
+        assert n_open(tab) == 0
+        tab = ins(tab, 100, 2)  # equal f, lower par wins the tie -> reopens
+        assert n_open(tab) == 1
+        t_key, t_best, t_closed = tab
+        t_closed = t_closed.at[slot].set(t_best[slot])
+        tab = (t_key, t_best, t_closed)
+        tab = ins(tab, 99, 7)  # strictly better f -> reopens
+        assert n_open(tab) == 1
