@@ -88,7 +88,7 @@ def run(argv=None) -> int:
           f"with engine={args.engine} hash={args.hash_type} shift={args.hash_shift}")
 
     with TimeCounter("Phase 1 - init heuristic: "):
-        heuristic = HPairHeuristic.build(problem)
+        heuristic = HPairHeuristic.build(problem, backend="auto")
 
     engine = args.engine
     if engine == "auto":

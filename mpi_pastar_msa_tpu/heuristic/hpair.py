@@ -35,7 +35,12 @@ class HPairHeuristic:
         backend="device": batched JAX wavefront over all pairs at once
                           (TPU-native Phase 1; removes the reference's serial
                           per-pair loop and its MAX_SEQ_SIZE cap).
+        backend="auto":   device for long sequences (host DP is O(P*L^2)
+                          NumPy — fine to ~1000, the reference's own cap),
+                          host otherwise.
         """
+        if backend == "auto":
+            backend = "device" if problem.max_length > 1000 else "host"
         if backend == "device":
             from .wavefront import pair_tables_device
 

@@ -179,7 +179,11 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                  chunk_steps, ub, htab, henc):
         tab = (t_key, t_best, t_closed)
         goal0, steps0 = counters[0], counters[2]
-        exp0, reop0 = shard_ctr[0], shard_ctr[1]
+        # shard_ctr is a replicated (ndev, 4) table; each shard resumes from
+        # its own row (keeps every host-side array replicated so the same
+        # code drives single- and multi-process meshes)
+        me = jax.lax.axis_index(AXIS)
+        exp0, reop0 = shard_ctr[me, 0], shard_ctr[me, 1]
 
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
@@ -225,7 +229,9 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
         closed_ct = jnp.sum(tab[1] >= tab[2]).astype(jnp.int32) - jnp.sum(
             tab[1] == INFP).astype(jnp.int32)
         stats = jnp.stack([goal_g, fmin_g, steps, ovf])
-        shard_stats = jnp.stack([expanded, reopen, closed_ct, n_open])
+        shard_stats = jax.lax.all_gather(
+            jnp.stack([expanded, reopen, closed_ct, n_open]), AXIS
+        )  # (ndev, 4) replicated — per-tid stats table without P(AXIS) I/O
         return tab + (stats, shard_stats)
 
     spec_tab = (P(AXIS), P(AXIS), P(AXIS))
@@ -235,8 +241,8 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
     ))
     chunk_jit = jax.jit(jax.shard_map(
         chunk_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None), P(AXIS), P(None), P(None), P(None), P(None)),
-        out_specs=spec_tab + (P(None), P(AXIS)),
+        in_specs=spec_tab + (P(None), P(None), P(None), P(None), P(None), P(None)),
+        out_specs=spec_tab + (P(None), P(None)),
         check_vma=False,
     ), donate_argnums=(0, 1, 2))
     return init_jit, chunk_jit, goal_owner_np
@@ -460,6 +466,8 @@ class ShardedFrontierSearch:
         self.devices = list(devices)
         self.ndev = len(self.devices)
         self.mesh = Mesh(np.array(self.devices), (AXIS,))
+        me = self.devices[0].client.process_index()
+        self.multiprocess = any(d.process_index != me for d in self.devices)
         n = problem.n_seq
         M = (1 << n) - 1
         if batch is None:
@@ -505,6 +513,29 @@ class ShardedFrontierSearch:
             self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
             self._ntab = 5
 
+    def _rep(self, x):
+        """Host value -> replicated device array valid on this mesh.
+
+        On a multi-process mesh (the multi-host path, the analogue of the
+        reference's MPI ranks) a plain jnp.asarray is process-local and
+        cannot feed a global-mesh jit; build a fully-replicated global array
+        instead.  Every process must pass the same value (as every MPI rank
+        passes the same broadcast problem, ref: msa_pastar_main.cpp:97-179).
+        """
+        x = np.asarray(x)
+        if not self.multiprocess:
+            return jnp.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            x, self.mesh, P())
+
+    def _read(self, arr):
+        """Replicated device array -> host numpy (multi-process safe)."""
+        if not self.multiprocess:
+            return np.asarray(arr)
+        return np.asarray(arr.addressable_shards[0].data)
+
     def run(self) -> ShardedSearchResult:
         st = self.st
         root_h = np.array([self.heuristic.calculate_h(np.zeros(st.n, np.int32))],
@@ -519,21 +550,29 @@ class ShardedFrontierSearch:
                 "input (the reference has the same limitation)",
                 RuntimeWarning, stacklevel=2,
             )
-        tab = self._init(jnp.asarray(root_h))
-        counters = jnp.asarray(np.array([INF, 0, 0, 0], dtype=np.int32))
-        shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
-        ub_dev = jnp.asarray([np.int32(ub)])
+        if self.multiprocess and not self.packed:
+            raise NotImplementedError(
+                "multi-process meshes require the packed engine (degenerate "
+                "inputs / O != E are single-process only)")
+        tab = self._init(self._rep(root_h))
+        counters = self._rep(np.array([INF, 0, 0, 0], dtype=np.int32))
+        if self.packed:
+            shard_ctr = self._rep(np.zeros((self.ndev, 4), dtype=np.int32))
+        else:
+            shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
+        ub_dev = self._rep(np.array([ub], dtype=np.int32))
+        htab_g = self._rep(np.asarray(st.d_tables4 if self.packed else st.d_tables))
+        henc_g = self._rep(np.asarray(st.d_enc))
         chunk_now = self.chunk_steps
         nt = self._ntab
         import time as _time
         while True:
             _t0 = _time.perf_counter()
             out = self._chunk(*tab, counters, shard_ctr,
-                              jnp.asarray([np.int32(chunk_now)]), ub_dev,
-                              st.d_tables4 if self.packed else st.d_tables,
-                              self.st.d_enc)
+                              self._rep(np.array([chunk_now], dtype=np.int32)),
+                              ub_dev, htab_g, henc_g)
             tab, counters, shard_ctr = out[:nt], out[nt], out[nt + 1]
-            stats_np = np.asarray(counters)
+            stats_np = self._read(counters)
             _dt = _time.perf_counter() - _t0
             # keep each dispatch under the remote-worker watchdog
             if _dt > 20 and chunk_now > 8:
@@ -541,10 +580,9 @@ class ShardedFrontierSearch:
             elif _dt < 8 and chunk_now < 4 * self.chunk_steps:
                 chunk_now *= 2
             goal_v, fmin_v, steps, ovf = (int(v) for v in stats_np)
-            counters = jnp.asarray(stats_np)
             if fmin_v >= goal_v or ovf > 0 or steps >= self.max_steps:
                 break
-        per_shard = np.asarray(shard_ctr).reshape(self.ndev, 4)
+        per_shard = self._read(shard_ctr).reshape(self.ndev, 4)
         expanded = int(per_shard[:, 0].sum())
         reopen = int(per_shard[:, 1].sum())
         n_open = int(per_shard[:, 3].sum())
@@ -558,9 +596,9 @@ class ShardedFrontierSearch:
         if goal_v >= int(INF):
             raise RuntimeError("open set exhausted without reaching the goal")
 
-        masks, coord_fin = self._walk(*tab, jnp.asarray(st.final_np))
-        masks = np.asarray(masks)
-        if not np.all(np.asarray(coord_fin) == 0):
+        masks, coord_fin = self._walk(*tab, self._rep(st.final_np))
+        masks = self._read(masks)
+        if not np.all(self._read(coord_fin) == 0):
             raise RuntimeError("distributed backtrace did not reach the origin")
 
         closed: Dict[Tuple[int, ...], Tuple[int, int]] = {}

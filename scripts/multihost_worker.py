@@ -1,0 +1,54 @@
+"""Worker for the two-process multi-host integration test.
+
+Usage: python scripts/multihost_worker.py <rank> <nprocs> <coordinator>
+
+Each process runs jax.distributed + gloo CPU collectives with 2 local
+virtual CPU devices, receives the problem via the host-0 broadcast
+(ref: pastar/msa_pastar_main.cpp:97-179), and runs the sharded engine over
+the process-spanning mesh.  This is the reference's ``mpiexec -n K`` on one
+machine (README.md:15) — indistinguishable from K hosts.
+"""
+import os
+import sys
+
+rank = int(sys.argv[1])
+nprocs = int(sys.argv[2])
+coordinator = sys.argv[3]
+
+# local XLA CPU devices; do NOT force JAX_PLATFORMS=cpu — under a tunneled
+# TPU plugin that name can resolve to the remote CPU (1 device, no gloo)
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mpi_pastar_msa_tpu.parallel.multihost import (  # noqa: E402
+    broadcast_problem, init_distributed)
+
+pid = init_distributed(coordinator, nprocs, rank)
+assert pid == rank, (pid, rank)
+
+import jax  # noqa: E402
+
+cpus = jax.devices("cpu")
+assert len(cpus) == 2 * nprocs, len(cpus)
+
+from mpi_pastar_msa_tpu.core.problem import problem_from_fasta  # noqa: E402
+from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic  # noqa: E402
+from mpi_pastar_msa_tpu.parallel.sharded import ShardedFrontierSearch  # noqa: E402
+
+problem = (problem_from_fasta("/root/reference/PF08184.fasta")
+           if pid == 0 else None)
+problem = broadcast_problem(problem, devices=cpus)
+assert problem.n_seq == 3
+
+h = HPairHeuristic.build(problem)
+eng = ShardedFrontierSearch(problem, h, devices=cpus, batch=64,
+                            capacity=1 << 14)
+assert eng.multiprocess
+res = eng.run()
+assert res.g == 24450, res.g
+print(f"MULTIHOST_OK rank={pid} g={res.g} expanded={res.nodes_expanded} "
+      f"ndev={eng.ndev}", flush=True)

@@ -1,0 +1,52 @@
+"""Multi-host integration: 2 jax.distributed processes over gloo CPU.
+
+The real multi-host path end-to-end — jax.distributed bootstrap, host-0
+problem broadcast, and the sharded engine over a process-spanning mesh
+(SURVEY.md M5; the reference's equivalent test is ``mpiexec -n 2`` on one
+machine, README.md:15).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class TestMultihost:
+    @pytest.mark.slow
+    def test_two_process_sharded_search(self):
+        coord = f"127.0.0.1:{_free_port()}"
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        worker = os.path.join(REPO, "scripts", "multihost_worker.py")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(rank), "2", coord],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO,
+            )
+            for rank in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+            assert f"MULTIHOST_OK rank={rank} g=24450" in out, out[-3000:]
