@@ -682,25 +682,27 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     """Probe + place at the given (static) candidate width — packed layout.
 
     Structure is driven by measured TPU access costs (~12-14 ns per scattered
-    element, row gathers ~4x cheaper than the equivalent scatter) and by the
-    measured candidate mix: the vast majority of candidates settle in their
-    very first probe (match an existing key, or win an empty slot) while the
-    load factor stays moderate, and the rest need a handful of rounds.  So:
+    element, row gathers ~4x cheaper than the equivalent scatter; every
+    probing round costs proportional to its static width) and by the measured
+    candidate mix: most candidates MATCH an existing key in their very first
+    probe; the non-matching remainder (new keys + hash collisions, bounded by
+    the new-key rate plus the table load factor) is a quarter of the batch or
+    less; and after one claim round only a trickle is left.  So the probe is
+    a width cascade:
 
-      round 0 (full width): ONE key-row gather + claim scatter + claim
-        gather.  Key WRITES are deferred out of the round and done once,
-        compacted to the winner subset (full-width row scatters are the
-        single most expensive op otherwise).  Deferral is safe: same-key
-        claim losers re-probe their slot in the tail and match the winner's
-        now-visible key.
+      round 0 (full width): ONE pure key-row gather — no claims, no writes.
+      tier A (1/4 width):   non-matching lanes compacted (scatter-index +
+        row-gather, the cheap direction); ONE standard claim round — new
+        keys claim empty slots and write their key rows at tier width.
+      tier B (1/16 width):  still-unsettled lanes compacted again and looped
+        to settlement.  Tier B re-probes from r=0: a claim loser must
+        re-check its slot, which now holds the winner's key (same-key losers
+        settle as matches; re-probing occupied slots makes stale claim tags
+        unreachable, so cross-tier tag reuse is safe).
 
-      tail (1/8 width): unsettled candidates are compacted by
-        scatter-index + row-gather and looped to settlement with the
-        standard claim protocol (direct key writes — cheap at tail width).
-        If they ever exceed the tail buffer (early search, empty table),
-        a full-width fallback loop runs instead.
-
-      placement: ONE scatter-min on the packed (f,par) word.
+    Any tier that overflows its buffer (early search: every candidate is a
+    new key) falls back to a full-width loop.  Placement is ONE width-L
+    scatter-min on the packed (f,par) word.
     """
     t_key, t_best, t_closed = tab
     C = st.C
@@ -709,99 +711,103 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     W = st.W
     R = st.max_probes
     h0 = _hash_keys(keys)
-    idx = jnp.arange(L, dtype=jnp.uint32)
-    Lfull = np.uint32(st.B * st.M)
 
-    # ---- round 0: probe, claim, NO key writes ----
+    # ---- round 0: pure lookup ----
     slot0 = _probe_slot(h0, jnp.int32(0), Cmask)
-    probe_slot = jnp.where(valid, slot0, C)
     k_at = t_key[jnp.clip(slot0, 0, C - 1)]  # (L, KW)
     occ = k_at[:, 0] != _EMPTY_WORD
     match = jnp.all(k_at[:, :W] == keys, axis=1) & occ & valid
-    empty = ~occ & valid
-    tag = step_tag * np.uint32(st.max_probes) * Lfull + idx
-    claim = claim.at[jnp.where(empty, probe_slot, C)].set(tag, mode="drop")
-    won = empty & (claim[jnp.clip(slot0, 0, C - 1)] == tag)
-    done = match | won
-    slot = jnp.where(done, slot0, C)
+    done = match
+    slot = jnp.where(match, slot0, C)
 
-    # ---- winner key writes, compacted when few ----
-    krow = jnp.concatenate([keys, h_arr.astype(jnp.uint32)[:, None]], axis=1)
-    Wn = max(L // 8, 256)
+    def run_loop(body, carry):
+        def cond(c):
+            r, dn, _, _, _ = c
+            return (r < R) & jnp.any(~dn)
+        return jax.lax.while_loop(cond, body, carry)
 
-    def write_full(t_key):
-        return t_key.at[jnp.where(won, slot0, C)].set(krow, mode="drop")
-
-    if Wn < L:
-        nvw = _prefix_sum(won.astype(jnp.int32))
-        wcnt = nvw[-1]
-
-        def write_compact(t_key):
-            cols = jnp.concatenate(
-                [jax.lax.bitcast_convert_type(krow, jnp.int32),
-                 slot0[:, None]], axis=1)
-            rows, lane_ok, _ = _compact_gather(won, nvw, Wn, cols)
-            wk = jax.lax.bitcast_convert_type(rows[:, : st.KW], jnp.uint32)
-            ws = rows[:, st.KW]
-            return t_key.at[jnp.where(lane_ok, ws, C)].set(wk, mode="drop")
-
-        t_key = jax.lax.cond(wcnt <= Wn, write_compact, write_full, t_key)
-    else:
-        t_key = write_full(t_key)
-
-    # ---- tail rounds for the unsettled ----
     un = valid & ~done
-    body = _probe_body_packed_factory(st, keys, h_arr, h0, idx, step_tag)
+    Ma = max(L // 4, 1024)
+    Mb = max(L // 16, 512)
 
-    def cond_wide(carry):
-        r, dn, _, _, _ = carry
-        return (r < R) & jnp.any(~dn)
+    if Ma >= L:
+        body = _probe_body_packed_factory(
+            st, keys, h_arr, h0, jnp.arange(L, dtype=jnp.uint32), step_tag)
+        carry = (jnp.int32(0), done | ~valid, slot, t_key, claim)
+        _, dn, slot, t_key, claim = run_loop(body, carry)
+        done = dn & valid
+    else:
+        nvA = _prefix_sum(un.astype(jnp.int32))
+        cntA = nvA[-1]
+        fitsA = cntA <= Ma
 
-    Xn = max(L // 8, 1024)
-    if Xn < L:
-        nv = _prefix_sum(un.astype(jnp.int32))
-        ucnt = nv[-1]
-        fits = ucnt <= Xn
-
-        def narrow_path(op):
+        def tierA(op):
             t_key, claim, done, slot = op
-            cols = jnp.concatenate(
+            colsA = jnp.concatenate(
                 [jax.lax.bitcast_convert_type(keys, jnp.int32).reshape(L, -1),
                  h_arr[:, None]], axis=1)
-            rows, lane_ok, cnt = _compact_gather(un, nv, Xn, cols)
-            nkeys = jax.lax.bitcast_convert_type(rows[:, :W], jnp.uint32)
-            nh = rows[:, W]
-            nh0 = _hash_keys(nkeys)
-            nidx = jnp.arange(Xn, dtype=jnp.uint32)
-            nbody = _probe_body_packed_factory(st, nkeys, nh, nh0, nidx, step_tag)
-            ncarry = (jnp.int32(0), ~lane_ok,
-                      jnp.full((Xn,), C, dtype=jnp.int32), t_key, claim)
-            _, ndone, nslot, t_key, claim = jax.lax.while_loop(
-                cond_wide, nbody, ncarry)
-            pos = jnp.where(un, nv - 1, Xn)
-            posc = jnp.clip(pos, 0, Xn - 1)
-            slot = jnp.where(un, nslot[posc], slot)
-            done = jnp.where(un, ndone[posc] & (posc < cnt), done)
+            rowsA, okA, _ = _compact_gather(un, nvA, Ma, colsA)
+            akeys = jax.lax.bitcast_convert_type(rowsA[:, :W], jnp.uint32)
+            ah = rowsA[:, W]
+            ah0 = _hash_keys(akeys)
+            abody = _probe_body_packed_factory(
+                st, akeys, ah, ah0, jnp.arange(Ma, dtype=jnp.uint32), step_tag)
+            # one claim round at tier-A width
+            r1, adone, aslot, t_key, claim = abody(
+                (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
+                 t_key, claim))
+
+            unB = ~adone
+            nvB = _prefix_sum(unB.astype(jnp.int32))
+            cntB = nvB[-1]
+            fitsB = cntB <= Mb
+
+            def tierB(op2):
+                t_key, claim, adone, aslot = op2
+                colsB = jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(akeys, jnp.int32),
+                     ah[:, None]], axis=1)
+                rowsB, okB, _ = _compact_gather(unB, nvB, Mb, colsB)
+                bkeys = jax.lax.bitcast_convert_type(rowsB[:, :W], jnp.uint32)
+                bh = rowsB[:, W]
+                bh0 = _hash_keys(bkeys)
+                bbody = _probe_body_packed_factory(
+                    st, bkeys, bh, bh0, jnp.arange(Mb, dtype=jnp.uint32),
+                    step_tag)
+                _, bdone, bslot, t_key, claim = run_loop(
+                    bbody, (jnp.int32(0), ~okB,
+                            jnp.full((Mb,), C, dtype=jnp.int32), t_key, claim))
+                posB = jnp.clip(jnp.where(unB, nvB - 1, Mb), 0, Mb - 1)
+                aslot = jnp.where(unB, bslot[posB], aslot)
+                adone = jnp.where(unB, bdone[posB], adone)
+                return t_key, claim, adone, aslot
+
+            def wideB(op2):
+                t_key, claim, adone, aslot = op2
+                _, adone, aslot, t_key, claim = run_loop(
+                    abody, (r1, adone, aslot, t_key, claim))
+                return t_key, claim, adone, aslot
+
+            t_key, claim, adone, aslot = jax.lax.cond(
+                fitsB, tierB, wideB, (t_key, claim, adone, aslot))
+
+            posA = jnp.clip(jnp.where(un, nvA - 1, Ma), 0, Ma - 1)
+            slot = jnp.where(un, aslot[posA], slot)
+            done = jnp.where(un, adone[posA], done)
             return t_key, claim, done, slot
 
-        def wide_path(op):
+        def wideA(op):
             t_key, claim, done, slot = op
+            body = _probe_body_packed_factory(
+                st, keys, h_arr, h0, jnp.arange(L, dtype=jnp.uint32), step_tag)
             carry = (jnp.int32(0), done | ~valid, slot, t_key, claim)
-            _, dn, slot, t_key, claim = jax.lax.while_loop(cond_wide, body, carry)
-            done = dn & valid
-            return t_key, claim, done, slot
+            _, dn, slot, t_key, claim = run_loop(body, carry)
+            return t_key, claim, dn & valid, slot
 
         t_key, claim, done, slot = jax.lax.cond(
-            fits, narrow_path, wide_path, (t_key, claim, done, slot)
-        )
-    else:
-        carry = (jnp.int32(0), done | ~valid, slot, t_key, claim)
-        _, dn, slot, t_key, claim = jax.lax.while_loop(cond_wide, body, carry)
-        done = dn & valid
+            fitsA, tierA, wideA, (t_key, claim, done, slot))
 
     # ---- placement: one scatter-min ----
-    # (reopens are counted at selection time — a closed slot becoming open
-    # again is observed there for the price of a B-wide gather)
     overflow = jnp.sum(valid & ~done)
     placed = valid & done
     t_best = t_best.at[jnp.where(placed, slot, C)].min(packed, mode="drop")
