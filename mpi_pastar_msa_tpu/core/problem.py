@@ -13,7 +13,7 @@ Lattice conventions (identical to the reference):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Tuple
 
 import numpy as np

@@ -18,8 +18,6 @@ when GapOpen != GapExtension).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,7 @@ can call them unconditionally.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -9,8 +9,6 @@ reference's priority queue enforces, never visits f > optimal either).
 """
 from __future__ import annotations
 
-from typing import List, Tuple
-
 import numpy as np
 
 from ..core.cost import COST_TABLE, GAP_EXTENSION, GAP_GAP, GAP_OPEN

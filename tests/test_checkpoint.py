@@ -1,6 +1,5 @@
 """Checkpoint/resume tests: interrupted search resumes to the same optimum."""
 import os
-import tempfile
 
 import pytest
 

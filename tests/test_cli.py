@@ -2,7 +2,6 @@
 import io
 import sys
 
-import pytest
 
 from mpi_pastar_msa_tpu.cli import run
 from mpi_pastar_msa_tpu.core.problem import Problem

@@ -1,6 +1,5 @@
 """Tests for the pairwise suffix DP, weight pipeline and HPair heuristic."""
 import numpy as np
-import pytest
 
 from mpi_pastar_msa_tpu.core.cost import GAP_EXTENSION, GAP_OPEN, cost
 from mpi_pastar_msa_tpu.core.problem import Problem, problem_from_fasta

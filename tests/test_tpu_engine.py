@@ -85,6 +85,7 @@ class TestEngineEndToEnd:
         "name,want_g,want_sim",
         [
             ("test.fasta", 13950, 50.0),
+            ("test2.fasta", 42075, 39.17),
             ("PF08184.fasta", 24450, 95.48),
         ],
     )
