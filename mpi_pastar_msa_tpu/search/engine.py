@@ -774,9 +774,55 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
                 bbody = _probe_body_packed_factory(
                     st, bkeys, bh, bh0, jnp.arange(Mb, dtype=jnp.uint32),
                     step_tag)
-                _, bdone, bslot, t_key, claim = run_loop(
-                    bbody, (jnp.int32(0), ~okB,
-                            jnp.full((Mb,), C, dtype=jnp.int32), t_key, claim))
+                # two explicit rounds settle nearly everyone; the loop that
+                # runs to the MAX probe-chain length happens one tier down,
+                # where each round is 4x cheaper
+                bcarry = (jnp.int32(0), ~okB,
+                          jnp.full((Mb,), C, dtype=jnp.int32), t_key, claim)
+                bcarry = bbody(bcarry)
+                bcarry = bbody(bcarry)
+                _, bdone, bslot, t_key, claim = bcarry
+
+                Mc = max(L // 64, 512)
+                unC = ~bdone
+                if Mc < Mb:
+                    nvC = _prefix_sum(unC.astype(jnp.int32))
+                    fitsC = nvC[-1] <= Mc
+
+                    def tierC(op3):
+                        t_key, claim, bdone, bslot = op3
+                        colsC = jnp.concatenate(
+                            [jax.lax.bitcast_convert_type(bkeys, jnp.int32),
+                             bh[:, None]], axis=1)
+                        rowsC, okC, _ = _compact_gather(unC, nvC, Mc, colsC)
+                        ckeys = jax.lax.bitcast_convert_type(
+                            rowsC[:, :W], jnp.uint32)
+                        chh = rowsC[:, W]
+                        ch0 = _hash_keys(ckeys)
+                        cbody = _probe_body_packed_factory(
+                            st, ckeys, chh, ch0,
+                            jnp.arange(Mc, dtype=jnp.uint32), step_tag)
+                        _, cdone, cslot, t_key, claim = run_loop(
+                            cbody, (jnp.int32(0), ~okC,
+                                    jnp.full((Mc,), C, dtype=jnp.int32),
+                                    t_key, claim))
+                        posC = jnp.clip(jnp.where(unC, nvC - 1, Mc), 0, Mc - 1)
+                        bslot = jnp.where(unC, cslot[posC], bslot)
+                        bdone = jnp.where(unC, cdone[posC], bdone)
+                        return t_key, claim, bdone, bslot
+
+                    def wideC(op3):
+                        t_key, claim, bdone, bslot = op3
+                        _, bdone, bslot, t_key, claim = run_loop(
+                            bbody, (jnp.int32(2), bdone, bslot, t_key, claim))
+                        return t_key, claim, bdone, bslot
+
+                    t_key, claim, bdone, bslot = jax.lax.cond(
+                        fitsC, tierC, wideC, (t_key, claim, bdone, bslot))
+                else:
+                    _, bdone, bslot, t_key, claim = run_loop(
+                        bbody, (jnp.int32(2), bdone, bslot, t_key, claim))
+
                 posB = jnp.clip(jnp.where(unB, nvB - 1, Mb), 0, Mb - 1)
                 aslot = jnp.where(unB, bslot[posB], aslot)
                 adone = jnp.where(unB, bdone[posB], adone)
