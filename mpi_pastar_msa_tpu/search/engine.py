@@ -170,6 +170,17 @@ class _Static:
         self.nb = n
         self.KW = self.W + 1
 
+        # sig-mode layout: when the whole lattice coordinate fits in
+        # log2(C) + 24 bits, the slot index itself carries the low key bits
+        # and ONE u32 word (khi << 7 | probe_round) identifies the key
+        # EXACTLY — every probe gather touches 1 word instead of KW, and the
+        # key-row table disappears (see _sig_encode for the bijection proof)
+        self.cbits = self.C.bit_length() - 1
+        self.bitw = [max(1, int(v).bit_length()) for v in problem.final_coord]
+        self.sig_bits = sum(self.bitw)
+        self.sig_ok = (self.sig_bits <= self.cbits + 24
+                       and self.cbits <= 31 and self.max_probes <= 128)
+
 
 def _pack_keys(coords: jnp.ndarray, W: int) -> jnp.ndarray:
     """(..., N) int32 coords -> (..., W) uint32 packed keys (2 coords/word)."""
@@ -205,6 +216,87 @@ def _probe_slot(h0: jnp.ndarray, r, Cmask: np.uint32) -> jnp.ndarray:
     ru = r.astype(jnp.uint32) if hasattr(r, "astype") else np.uint32(r)
     off = (ru * (ru + np.uint32(1))) >> np.uint32(1)
     return ((h0 + off) & Cmask).astype(jnp.int32)
+
+
+# invertible odd multiplier (golden ratio) + its inverse mod 2^32; masking to
+# cbits preserves the inverse property mod 2^cbits
+_SIG_ODD = np.uint32(0x9E3779B1)
+_SIG_ODD_INV = np.uint32(0x0E8B2F51)
+
+
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """Murmur3 finalizer (bijective on u32): spreads khi groups over slots."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _sig_encode(st: _Static, coords: jnp.ndarray):
+    """(X, N) coords -> (home slot u32, sig base word u32). EXACT addressing.
+
+    The coordinate packs into sig_bits <= cbits + 24 bits, split as
+    klo (low cbits) | khi (the rest).  home = (klo * ODD) ^ (mix32(khi)
+    & Cmask) and the stored word is (khi << 7) | probe_round r.  Given
+    (slot, word): khi = word >> 7, r = word & 127, home = slot - tri(r), and
+    klo = ((home ^ mix32(khi)) * ODD^-1) & Cmask — a bijection, so a
+    single-word match at a probed slot identifies the full key exactly (no
+    hash collisions, unlike a truncated-hash signature).  Keys sharing khi
+    can never collide with each other (odd multiply + XOR by the same
+    constant is injective on klo).  The odd multiply matters: raw klo values
+    are contiguous coordinate runs, which would pile the frontier into a few
+    argmin groups (poor batch selection) and create locally dense probe
+    regions; the multiply scatters them with zero information loss."""
+    cbits = st.cbits
+    Cmask = np.uint32(st.C - 1)
+    X = coords.shape[0]
+    lo = jnp.zeros((X,), jnp.uint32)
+    hi = jnp.zeros((X,), jnp.uint32)
+    sh = 0
+    for i in range(st.n):
+        c = coords[:, i].astype(jnp.uint32)
+        if sh < 32:
+            lo = lo | (c << np.uint32(sh))
+            if sh + st.bitw[i] > 32:
+                hi = hi | (c >> np.uint32(32 - sh))
+        else:
+            hi = hi | (c << np.uint32(sh - 32))
+        sh += st.bitw[i]
+    klo = lo & Cmask
+    khi = (lo >> np.uint32(cbits))
+    if st.sig_bits > 32:
+        khi = khi | (hi << np.uint32(32 - cbits))
+    home = ((klo * _SIG_ODD) & Cmask) ^ (_mix32(khi) & Cmask)
+    return home, khi << np.uint32(7)
+
+
+def _sig_decode(st: _Static, slots: jnp.ndarray, sig: jnp.ndarray):
+    """Invert _sig_encode: (slot i32, stored sig word u32) -> (X, N) coords."""
+    cbits = st.cbits
+    Cmask = np.uint32(st.C - 1)
+    r = sig & np.uint32(127)
+    khi = sig >> np.uint32(7)
+    off = (r * (r + np.uint32(1))) >> np.uint32(1)
+    home = (slots.astype(jnp.uint32) - off) & Cmask
+    klo = (((home ^ (_mix32(khi) & Cmask)) * _SIG_ODD_INV) & Cmask)
+    lo = klo | (khi << np.uint32(cbits))
+    hi = khi >> np.uint32(32 - cbits) if st.sig_bits > 32 else jnp.zeros_like(khi)
+    out = []
+    sh = 0
+    for i in range(st.n):
+        bw = st.bitw[i]
+        m = np.uint32((1 << bw) - 1)
+        if sh + bw <= 32:
+            v = (lo >> np.uint32(sh)) & m
+        elif sh >= 32:
+            v = (hi >> np.uint32(sh - 32)) & m
+        else:
+            v = ((lo >> np.uint32(sh)) | (hi << np.uint32(32 - sh))) & m
+        out.append(v.astype(jnp.int32))
+        sh += bw
+    return jnp.stack(out, axis=-1)
 
 
 _PFX_BLOCK = 512
@@ -639,47 +731,93 @@ def _compact_gather(valid, nv, Lc, cols):
     return crows, cvalid, cnt
 
 
-def _probe_body_packed_factory(st: _Static, keys, h_arr, h0, idx_orig, step_tag):
-    """One probing round over fixed candidate arrays (packed layout).
+def _probe_body_packed_factory(st: _Static, rows, idx_orig, step_tag):
+    """One probing round over fixed candidate records (packed layout).
 
-    Key rows are (KW,) = [key words, h]; h rides along in the winner write so
-    it is stored exactly once per slot."""
+    Record columns: [h0, key words (W), h] as i32 bitcasts.  h rides along in
+    the winner write so it is stored exactly once per slot.  `store` in the
+    carry is the 1-tuple (t_key,)."""
     C = st.C
     Cmask = np.uint32(C - 1)
     Lfull = np.uint32(st.B * st.M)
     W = st.W
+    h0 = jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32)
+    keys = jax.lax.bitcast_convert_type(rows[:, 1:1 + W], jnp.uint32)
     krow_new = jnp.concatenate(
-        [keys, h_arr.astype(jnp.uint32)[:, None]], axis=1
+        [keys, jax.lax.bitcast_convert_type(rows[:, 1 + W], jnp.uint32)[:, None]],
+        axis=1,
     )  # (X, KW)
 
     def body(carry):
-        r, done, slot_out, t_key, claim = carry
+        r, done, slot_out, store, claim = carry
+        (t_key,) = store
         slot = _probe_slot(h0, r, Cmask)
-        probe_slot = jnp.where(done, C, slot)
-        k_at = t_key[jnp.clip(slot, 0, C - 1)]  # (X, KW)
+        slot_c = jnp.clip(slot, 0, C - 1)
+        k_at = t_key[slot_c]  # (X, KW)
         occ = k_at[:, 0] != _EMPTY_WORD
         match = jnp.all(k_at[:, :W] == keys, axis=1) & occ & ~done
         empty = ~occ & ~done
 
         tag = (step_tag * np.uint32(st.max_probes) + r.astype(jnp.uint32)) * Lfull + idx_orig
-        claim = claim.at[jnp.where(empty, probe_slot, C)].set(tag, mode="drop")
-        won = empty & (claim[jnp.clip(slot, 0, C - 1)] == tag)
-        t_key = t_key.at[jnp.where(won, probe_slot, C)].set(krow_new, mode="drop")
+        claim = claim.at[jnp.where(empty, slot, C)].set(tag, mode="drop")
+        won = empty & (claim[slot_c] == tag)
+        t_key = t_key.at[jnp.where(won, slot, C)].set(krow_new, mode="drop")
         # losers re-check: the slot may now hold an equal key written this round
-        k_at2 = t_key[jnp.clip(slot, 0, C - 1)]
+        k_at2 = t_key[slot_c]
         match2 = jnp.all(k_at2[:, :W] == keys, axis=1) & ~done & ~won & ~match
 
         settled = match | won | match2
         slot_out = jnp.where(settled, slot, slot_out)
         done = done | settled
-        return r + 1, done, slot_out, t_key, claim
+        return r + 1, done, slot_out, (t_key,), claim
 
     return body
 
 
-def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
-                        step_tag):
-    """Probe + place at the given (static) candidate width — packed layout.
+def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag):
+    """One probing round, sig layout (see _sig_encode).
+
+    Record columns: [home, sig base, h].  A match is ONE u32 compare against
+    (khi << 7 | r) — exact, because (slot, r, khi) reconstructs the key.
+    `store` is (t_sig, t_h)."""
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    Lfull = np.uint32(st.B * st.M)
+    home = jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32)
+    sigb = jax.lax.bitcast_convert_type(rows[:, 1], jnp.uint32)
+    hh = rows[:, 2]
+
+    def body(carry):
+        r, done, slot_out, store, claim = carry
+        t_sig, t_h = store
+        slot = _probe_slot(home, r, Cmask)
+        slot_c = jnp.clip(slot, 0, C - 1)
+        sig_r = sigb | r.astype(jnp.uint32)
+        s_at = t_sig[slot_c]
+        occ = s_at != _EMPTY_WORD
+        match = (s_at == sig_r) & ~done
+        empty = ~occ & ~done
+
+        tag = (step_tag * np.uint32(st.max_probes) + r.astype(jnp.uint32)) * Lfull + idx_orig
+        claim = claim.at[jnp.where(empty, slot, C)].set(tag, mode="drop")
+        won = empty & (claim[slot_c] == tag)
+        wslot = jnp.where(won, slot, C)
+        t_sig = t_sig.at[wslot].set(sig_r, mode="drop")
+        t_h = t_h.at[wslot].set(hh, mode="drop")
+        s_at2 = t_sig[slot_c]
+        match2 = (s_at2 == sig_r) & ~done & ~won & ~match
+
+        settled = match | won | match2
+        slot_out = jnp.where(settled, slot, slot_out)
+        done = done | settled
+        return r + 1, done, slot_out, (t_sig, t_h), claim
+
+    return body
+
+
+def _insert_cascade(st: _Static, store, claim, rec, valid, step_tag,
+                    lookup0, make_body):
+    """Probe all candidates to a settled slot — generic width cascade.
 
     Structure is driven by measured TPU access costs (~12-14 ns per scattered
     element, row gathers ~4x cheaper than the equivalent scatter; every
@@ -690,33 +828,34 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     less; and after one claim round only a trickle is left.  So the probe is
     a width cascade:
 
-      round 0 (full width): ONE pure key-row gather — no claims, no writes.
+      round 0 (full width): ONE pure lookup gather — no claims, no writes.
       tier A (1/4 width):   non-matching lanes compacted (scatter-index +
         row-gather, the cheap direction); ONE standard claim round — new
-        keys claim empty slots and write their key rows at tier width.
-      tier B (1/16 width):  still-unsettled lanes compacted again and looped
-        to settlement.  Tier B re-probes from r=0: a claim loser must
-        re-check its slot, which now holds the winner's key (same-key losers
-        settle as matches; re-probing occupied slots makes stale claim tags
-        unreachable, so cross-tier tag reuse is safe).
+        keys claim empty slots and write their entries at tier width.
+      tier B (1/16 width):  still-unsettled lanes compacted again; two
+        explicit rounds settle nearly everyone.
+      tier C (1/64 width):  the trickle loops to the MAX probe-chain length
+        where each round is 16x cheaper than tier A.
 
-    Any tier that overflows its buffer (early search: every candidate is a
-    new key) falls back to a full-width loop.  Placement is ONE width-L
-    scatter-min on the packed (f,par) word.
+    Every tier re-probes from r=0: a claim loser must re-check its slot,
+    which now holds the winner's entry (same-key losers settle as matches;
+    re-probing occupied slots makes stale claim tags unreachable, so
+    cross-tier tag reuse is safe).  Any tier whose candidates overflow its
+    buffer (early search: every candidate is a new key) falls back to a
+    full-width loop at the parent tier.
+
+    Layout-specific pieces come in as `lookup0(store, rec) -> (match, slot0)`
+    (the round-0 pure lookup) and `make_body(rec_rows, idx, step_tag)` (a
+    probing-round body over compacted record rows; carry =
+    (r, done, slot, store, claim)).  Record column 0 must be the home slot /
+    initial hash as an i32 bitcast so compaction carries it for free.
     """
-    t_key, t_best, t_closed = tab
     C = st.C
-    Cmask = np.uint32(C - 1)
-    L = keys.shape[0]
-    W = st.W
+    L = rec.shape[0]
     R = st.max_probes
-    h0 = _hash_keys(keys)
 
-    # ---- round 0: pure lookup ----
-    slot0 = _probe_slot(h0, jnp.int32(0), Cmask)
-    k_at = t_key[jnp.clip(slot0, 0, C - 1)]  # (L, KW)
-    occ = k_at[:, 0] != _EMPTY_WORD
-    match = jnp.all(k_at[:, :W] == keys, axis=1) & occ & valid
+    match, slot0 = lookup0(store, rec)
+    match = match & valid
     done = match
     slot = jnp.where(match, slot0, C)
 
@@ -731,133 +870,177 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     Mb = max(L // 16, 512)
 
     if Ma >= L:
-        body = _probe_body_packed_factory(
-            st, keys, h_arr, h0, jnp.arange(L, dtype=jnp.uint32), step_tag)
-        carry = (jnp.int32(0), done | ~valid, slot, t_key, claim)
-        _, dn, slot, t_key, claim = run_loop(body, carry)
+        body = make_body(rec, jnp.arange(L, dtype=jnp.uint32), step_tag)
+        carry = (jnp.int32(0), done | ~valid, slot, store, claim)
+        _, dn, slot, store, claim = run_loop(body, carry)
         done = dn & valid
-    else:
-        nvA = _prefix_sum(un.astype(jnp.int32))
-        cntA = nvA[-1]
-        fitsA = cntA <= Ma
+        return store, claim, done, slot
 
-        def tierA(op):
-            t_key, claim, done, slot = op
-            colsA = jnp.concatenate(
-                [jax.lax.bitcast_convert_type(keys, jnp.int32).reshape(L, -1),
-                 h_arr[:, None]], axis=1)
-            rowsA, okA, _ = _compact_gather(un, nvA, Ma, colsA)
-            akeys = jax.lax.bitcast_convert_type(rowsA[:, :W], jnp.uint32)
-            ah = rowsA[:, W]
-            ah0 = _hash_keys(akeys)
-            abody = _probe_body_packed_factory(
-                st, akeys, ah, ah0, jnp.arange(Ma, dtype=jnp.uint32), step_tag)
-            # one claim round at tier-A width
-            r1, adone, aslot, t_key, claim = abody(
-                (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
-                 t_key, claim))
+    nvA = _prefix_sum(un.astype(jnp.int32))
+    fitsA = nvA[-1] <= Ma
 
-            unB = ~adone
-            nvB = _prefix_sum(unB.astype(jnp.int32))
-            cntB = nvB[-1]
-            fitsB = cntB <= Mb
+    def tierA(op):
+        store, claim, done, slot = op
+        rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
+        abody = make_body(rowsA, jnp.arange(Ma, dtype=jnp.uint32), step_tag)
+        # one claim round at tier-A width
+        r1, adone, aslot, store, claim = abody(
+            (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
+             store, claim))
 
-            def tierB(op2):
-                t_key, claim, adone, aslot = op2
-                colsB = jnp.concatenate(
-                    [jax.lax.bitcast_convert_type(akeys, jnp.int32),
-                     ah[:, None]], axis=1)
-                rowsB, okB, _ = _compact_gather(unB, nvB, Mb, colsB)
-                bkeys = jax.lax.bitcast_convert_type(rowsB[:, :W], jnp.uint32)
-                bh = rowsB[:, W]
-                bh0 = _hash_keys(bkeys)
-                bbody = _probe_body_packed_factory(
-                    st, bkeys, bh, bh0, jnp.arange(Mb, dtype=jnp.uint32),
-                    step_tag)
-                # two explicit rounds settle nearly everyone; the loop that
-                # runs to the MAX probe-chain length happens one tier down,
-                # where each round is 4x cheaper
-                bcarry = (jnp.int32(0), ~okB,
-                          jnp.full((Mb,), C, dtype=jnp.int32), t_key, claim)
-                bcarry = bbody(bcarry)
-                bcarry = bbody(bcarry)
-                _, bdone, bslot, t_key, claim = bcarry
+        unB = ~adone
+        nvB = _prefix_sum(unB.astype(jnp.int32))
+        fitsB = nvB[-1] <= Mb
 
-                Mc = max(L // 64, 512)
-                unC = ~bdone
-                if Mc < Mb:
-                    nvC = _prefix_sum(unC.astype(jnp.int32))
-                    fitsC = nvC[-1] <= Mc
+        def tierB(op2):
+            store, claim, adone, aslot = op2
+            rowsB, okB, _ = _compact_gather(unB, nvB, Mb, rowsA)
+            bbody = make_body(rowsB, jnp.arange(Mb, dtype=jnp.uint32),
+                              step_tag)
+            bcarry = (jnp.int32(0), ~okB,
+                      jnp.full((Mb,), C, dtype=jnp.int32), store, claim)
+            bcarry = bbody(bcarry)
+            bcarry = bbody(bcarry)
+            _, bdone, bslot, store, claim = bcarry
 
-                    def tierC(op3):
-                        t_key, claim, bdone, bslot = op3
-                        colsC = jnp.concatenate(
-                            [jax.lax.bitcast_convert_type(bkeys, jnp.int32),
-                             bh[:, None]], axis=1)
-                        rowsC, okC, _ = _compact_gather(unC, nvC, Mc, colsC)
-                        ckeys = jax.lax.bitcast_convert_type(
-                            rowsC[:, :W], jnp.uint32)
-                        chh = rowsC[:, W]
-                        ch0 = _hash_keys(ckeys)
-                        cbody = _probe_body_packed_factory(
-                            st, ckeys, chh, ch0,
-                            jnp.arange(Mc, dtype=jnp.uint32), step_tag)
-                        _, cdone, cslot, t_key, claim = run_loop(
-                            cbody, (jnp.int32(0), ~okC,
-                                    jnp.full((Mc,), C, dtype=jnp.int32),
-                                    t_key, claim))
-                        posC = jnp.clip(jnp.where(unC, nvC - 1, Mc), 0, Mc - 1)
-                        bslot = jnp.where(unC, cslot[posC], bslot)
-                        bdone = jnp.where(unC, cdone[posC], bdone)
-                        return t_key, claim, bdone, bslot
+            Mc = max(L // 64, 512)
+            unC = ~bdone
+            if Mc < Mb:
+                nvC = _prefix_sum(unC.astype(jnp.int32))
+                fitsC = nvC[-1] <= Mc
 
-                    def wideC(op3):
-                        t_key, claim, bdone, bslot = op3
-                        _, bdone, bslot, t_key, claim = run_loop(
-                            bbody, (jnp.int32(2), bdone, bslot, t_key, claim))
-                        return t_key, claim, bdone, bslot
+                def tierC(op3):
+                    store, claim, bdone, bslot = op3
+                    rowsC, okC, _ = _compact_gather(unC, nvC, Mc, rowsB)
+                    cbody = make_body(
+                        rowsC, jnp.arange(Mc, dtype=jnp.uint32), step_tag)
+                    _, cdone, cslot, store, claim = run_loop(
+                        cbody, (jnp.int32(0), ~okC,
+                                jnp.full((Mc,), C, dtype=jnp.int32),
+                                store, claim))
+                    posC = jnp.clip(jnp.where(unC, nvC - 1, Mc), 0, Mc - 1)
+                    # ONE back-map gather: (slot, done) packed in one word
+                    # (every random-indexed op costs ~10 ns/row regardless of
+                    # width, so halving the op count halves the cost)
+                    csd = (cslot << 1) | cdone.astype(jnp.int32)
+                    sdC = csd[posC]
+                    bslot = jnp.where(unC, sdC >> 1, bslot)
+                    bdone = jnp.where(unC, (sdC & 1) == 1, bdone)
+                    return store, claim, bdone, bslot
 
-                    t_key, claim, bdone, bslot = jax.lax.cond(
-                        fitsC, tierC, wideC, (t_key, claim, bdone, bslot))
-                else:
-                    _, bdone, bslot, t_key, claim = run_loop(
-                        bbody, (jnp.int32(2), bdone, bslot, t_key, claim))
+                def wideC(op3):
+                    store, claim, bdone, bslot = op3
+                    _, bdone, bslot, store, claim = run_loop(
+                        bbody, (jnp.int32(2), bdone, bslot, store, claim))
+                    return store, claim, bdone, bslot
 
-                posB = jnp.clip(jnp.where(unB, nvB - 1, Mb), 0, Mb - 1)
-                aslot = jnp.where(unB, bslot[posB], aslot)
-                adone = jnp.where(unB, bdone[posB], adone)
-                return t_key, claim, adone, aslot
+                store, claim, bdone, bslot = jax.lax.cond(
+                    fitsC, tierC, wideC, (store, claim, bdone, bslot))
+            else:
+                _, bdone, bslot, store, claim = run_loop(
+                    bbody, (jnp.int32(2), bdone, bslot, store, claim))
 
-            def wideB(op2):
-                t_key, claim, adone, aslot = op2
-                _, adone, aslot, t_key, claim = run_loop(
-                    abody, (r1, adone, aslot, t_key, claim))
-                return t_key, claim, adone, aslot
+            posB = jnp.clip(jnp.where(unB, nvB - 1, Mb), 0, Mb - 1)
+            bsd = (bslot << 1) | bdone.astype(jnp.int32)
+            sdB = bsd[posB]
+            aslot = jnp.where(unB, sdB >> 1, aslot)
+            adone = jnp.where(unB, (sdB & 1) == 1, adone)
+            return store, claim, adone, aslot
 
-            t_key, claim, adone, aslot = jax.lax.cond(
-                fitsB, tierB, wideB, (t_key, claim, adone, aslot))
+        def wideB(op2):
+            store, claim, adone, aslot = op2
+            _, adone, aslot, store, claim = run_loop(
+                abody, (r1, adone, aslot, store, claim))
+            return store, claim, adone, aslot
 
-            posA = jnp.clip(jnp.where(un, nvA - 1, Ma), 0, Ma - 1)
-            slot = jnp.where(un, aslot[posA], slot)
-            done = jnp.where(un, adone[posA], done)
-            return t_key, claim, done, slot
+        store, claim, adone, aslot = jax.lax.cond(
+            fitsB, tierB, wideB, (store, claim, adone, aslot))
 
-        def wideA(op):
-            t_key, claim, done, slot = op
-            body = _probe_body_packed_factory(
-                st, keys, h_arr, h0, jnp.arange(L, dtype=jnp.uint32), step_tag)
-            carry = (jnp.int32(0), done | ~valid, slot, t_key, claim)
-            _, dn, slot, t_key, claim = run_loop(body, carry)
-            return t_key, claim, dn & valid, slot
+        posA = jnp.clip(jnp.where(un, nvA - 1, Ma), 0, Ma - 1)
+        asd = (aslot << 1) | adone.astype(jnp.int32)
+        sdA = asd[posA]
+        slot = jnp.where(un, sdA >> 1, slot)
+        done = jnp.where(un, (sdA & 1) == 1, done)
+        return store, claim, done, slot
 
-        t_key, claim, done, slot = jax.lax.cond(
-            fitsA, tierA, wideA, (t_key, claim, done, slot))
+    def wideA(op):
+        store, claim, done, slot = op
+        body = make_body(rec, jnp.arange(L, dtype=jnp.uint32), step_tag)
+        carry = (jnp.int32(0), done | ~valid, slot, store, claim)
+        _, dn, slot, store, claim = run_loop(body, carry)
+        return store, claim, dn & valid, slot
+
+    store, claim, done, slot = jax.lax.cond(
+        fitsA, tierA, wideA, (store, claim, done, slot))
+    return store, claim, done, slot
+
+
+def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
+                        step_tag):
+    """Probe + place at the given (static) candidate width — packed layout.
+
+    See _insert_cascade for the width-cascade structure.  Placement is ONE
+    width-L scatter-min on the packed (f,par) word."""
+    t_key, t_best, t_closed = tab
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    W = st.W
+    h0 = _hash_keys(keys)
+    rec = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(h0, jnp.int32)[:, None],
+         jax.lax.bitcast_convert_type(keys, jnp.int32).reshape(keys.shape[0], -1),
+         h_arr[:, None]], axis=1)
+
+    def lookup0(store, rec):
+        (t_key,) = store
+        rh0 = jax.lax.bitcast_convert_type(rec[:, 0], jnp.uint32)
+        rkeys = jax.lax.bitcast_convert_type(rec[:, 1:1 + W], jnp.uint32)
+        slot0 = _probe_slot(rh0, jnp.int32(0), Cmask)
+        k_at = t_key[jnp.clip(slot0, 0, C - 1)]  # (L, KW)
+        occ = k_at[:, 0] != _EMPTY_WORD
+        match = jnp.all(k_at[:, :W] == rkeys, axis=1) & occ
+        return match, slot0
+
+    make_body = partial(_probe_body_packed_factory, st)
+    (t_key,), claim, done, slot = _insert_cascade(
+        st, (t_key,), claim, rec, valid, step_tag, lookup0, make_body)
 
     # ---- placement: one scatter-min ----
     overflow = jnp.sum(valid & ~done)
     placed = valid & done
     t_best = t_best.at[jnp.where(placed, slot, C)].min(packed, mode="drop")
     return (t_key, t_best, t_closed), overflow, claim
+
+
+def _insert_core_sig(st: _Static, tab, claim, home, sigb, h_arr, packed,
+                     valid, step_tag):
+    """Probe + place, sig layout: single-word exact signatures (_sig_encode).
+
+    See _insert_cascade for the width-cascade structure."""
+    t_sig, t_h, t_best, t_closed = tab
+    C = st.C
+    rec = jnp.stack(
+        [jax.lax.bitcast_convert_type(home, jnp.int32),
+         jax.lax.bitcast_convert_type(sigb, jnp.int32),
+         h_arr], axis=1)
+
+    def lookup0(store, rec):
+        t_sig, _ = store
+        rhome = jax.lax.bitcast_convert_type(rec[:, 0], jnp.uint32)
+        rsigb = jax.lax.bitcast_convert_type(rec[:, 1], jnp.uint32)
+        slot0 = rhome.astype(jnp.int32)  # r=0 probe IS the home slot
+        s_at = t_sig[jnp.clip(slot0, 0, C - 1)]
+        match = (s_at == rsigb) & (s_at != _EMPTY_WORD)
+        return match, slot0
+
+    make_body = partial(_probe_body_sig_factory, st)
+    (t_sig, t_h), claim, done, slot = _insert_cascade(
+        st, (t_sig, t_h), claim, rec, valid, step_tag, lookup0, make_body)
+
+    overflow = jnp.sum(valid & ~done)
+    placed = valid & done
+    t_best = t_best.at[jnp.where(placed, slot, C)].min(packed, mode="drop")
+    return (t_sig, t_h, t_best, t_closed), overflow, claim
 
 
 def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
@@ -911,6 +1094,85 @@ def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
                         (tab, claim))
 
 
+def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
+                claim=None, step_tag=None):
+    """Batch insert, sig layout, with adaptive width compaction (the sig
+    twin of _insert_packed — see there for why compaction pays)."""
+    L = home.shape[0]
+    if claim is None:
+        claim = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+    if step_tag is None:
+        step_tag = jnp.uint32(0)
+
+    if L <= 4096 or st.C <= (1 << 20):
+        return _insert_core_sig(st, tab, claim, home, sigb, h_arr, packed,
+                                valid, step_tag)
+
+    nv = _prefix_sum(valid.astype(jnp.int32))
+    cnt = nv[-1]
+    cols = jnp.stack(
+        [jax.lax.bitcast_convert_type(home, jnp.int32),
+         jax.lax.bitcast_convert_type(sigb, jnp.int32),
+         h_arr, packed], axis=1)
+
+    def compact_to(Lc):
+        def run(op):
+            tab, claim = op
+            crows, cvalid, _ = _compact_gather(valid, nv, Lc, cols)
+            return _insert_core_sig(
+                st, tab, claim,
+                jax.lax.bitcast_convert_type(crows[:, 0], jnp.uint32),
+                jax.lax.bitcast_convert_type(crows[:, 1], jnp.uint32),
+                crows[:, 2], crows[:, 3], cvalid, step_tag)
+        return run
+
+    def full_path(op):
+        tab, claim = op
+        return _insert_core_sig(st, tab, claim, home, sigb, h_arr, packed,
+                                valid, step_tag)
+
+    def half_or_full(op):
+        return jax.lax.cond(cnt <= L // 2, compact_to(L // 2), full_path, op)
+
+    return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_full,
+                        (tab, claim))
+
+
+def _select_sig(st: _Static, tab, goal_g, thr):
+    """Grouped-argmin batch selection, sig layout: coords are reconstructed
+    from (slot, sig word) by inverting the _sig_encode bijection; h comes
+    from the companion t_h array."""
+    t_sig, t_h, t_best, t_closed = tab
+    C, B, nb = st.C, st.B, st.nb
+    G = C // B
+
+    is_open = t_best < t_closed
+    f_val = t_best >> nb
+    is_open = is_open & (f_val < goal_g)
+    v_open = jnp.where(is_open, t_best, INFP)
+    fmin_p = jnp.min(v_open)
+    fmin = fmin_p >> nb
+    n_open = jnp.sum(is_open)
+
+    cut = (jnp.minimum(fmin + thr + 1, INFP >> nb) << nb) - 1
+    v = jnp.where(v_open <= cut, v_open, INFP).reshape(B, G)
+    j = jnp.argmin(v, axis=1)
+    vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
+    slots = jnp.arange(B, dtype=jnp.int32) * G + j.astype(jnp.int32)
+    active = vmin < INFP
+    n_selected = jnp.sum(active)
+    slot_c = jnp.clip(slots, 0, C - 1)
+
+    coords = _sig_decode(st, slot_c, t_sig[slot_c])  # (B, N)
+    h_sel = t_h[slot_c]
+    g = (vmin >> nb) - h_sel
+    par = vmin & ((1 << nb) - 1)
+    reopen_ct = jnp.sum(active & (t_closed[slot_c] < INFP))
+    t_closed = t_closed.at[jnp.where(active, slots, C)].set(vmin, mode="drop")
+    return ((t_sig, t_h, t_best, t_closed), coords, g, par, active,
+            fmin, n_open, n_selected, reopen_ct)
+
+
 def _select_packed(st: _Static, tab, goal_g, thr):
     """Grouped-argmin batch selection over the packed table.
 
@@ -958,17 +1220,33 @@ def _select_packed(st: _Static, tab, goal_g, thr):
             fmin, n_open, n_selected, reopen_ct)
 
 
-def _make_step_packed(st: _Static):
+def _candidates_packed(st: _Static, keys, child):
+    return (keys,)
+
+
+def _candidates_sig(st: _Static, keys, child):
+    return _sig_encode(st, child)
+
+
+def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
+                      cand_fn=None):
+    """Single super-step (select -> expand -> insert); shared by the packed
+    and sig layouts — the layout plugs in via the three functions."""
+    select_fn = select_fn or _select_packed
+    insert_fn = insert_fn or _insert_packed
+    cand_fn = cand_fn or _candidates_packed
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(tab, goal_g, ub, thr, htab, henc):
-        tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = _select_packed(
+        tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
             st, tab, goal_g, thr)
-        keys, g_c, f_c, mask_c, valid, is_goal, _, h_c = _expand(
+        keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
             st, coords, g, par, active, None, htab, henc)
         valid = valid & (f_c <= ub)
         packed = (f_c << st.nb) | mask_c
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
-        tab, overflow, _ = _insert_packed(st, tab, keys, h_c, packed, valid)
+        tab, overflow, _ = insert_fn(st, tab, *cand_fn(st, keys, child),
+                                     h_c, packed, valid)
         expanded = jnp.sum(active)
         thr = _adapt_thr(thr, n_sel, st.B)
         stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
@@ -977,8 +1255,16 @@ def _make_step_packed(st: _Static):
     return step
 
 
-def _make_run_loop_packed(st: _Static):
-    """Chunked on-device driver, packed layout (see _make_run_loop)."""
+def _make_step_sig(st: _Static):
+    return _make_step_packed(st, _select_sig, _insert_sig, _candidates_sig)
+
+
+def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
+                          cand_fn=None):
+    """Chunked on-device driver, packed/sig layouts (see _make_run_loop)."""
+    select_fn = select_fn or _select_packed
+    insert_fn = insert_fn or _insert_packed
+    cand_fn = cand_fn or _candidates_packed
 
     @partial(jax.jit, donate_argnums=(0,))
     def run_chunk(tab, counters, chunk_steps, ub, htab, henc):
@@ -995,15 +1281,15 @@ def _make_run_loop_packed(st: _Static):
 
         def body(carry):
             tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
-            tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = _select_packed(
+            tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
                 st, tab, goal_g, thr)
-            keys, g_c, f_c, mask_c, valid, is_goal, _, h_c = _expand(
+            keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
                 st, coords, g, par, active, None, htab, henc)
             valid = valid & (f_c <= ub)
             packed = (f_c << st.nb) | mask_c
             goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
-            tab, ovf, claim = _insert_packed(
-                st, tab, keys, h_c, packed, valid,
+            tab, ovf, claim = insert_fn(
+                st, tab, *cand_fn(st, keys, child), h_c, packed, valid,
                 claim=claim, step_tag=local.astype(jnp.uint32),
             )
             thr = _adapt_thr(thr, n_sel, st.B)
@@ -1022,6 +1308,10 @@ def _make_run_loop_packed(st: _Static):
         return tab, counters
 
     return run_chunk
+
+
+def _make_run_loop_sig(st: _Static):
+    return _make_run_loop_packed(st, _select_sig, _insert_sig, _candidates_sig)
 
 
 def _make_backtrace_packed(st: _Static):
@@ -1048,6 +1338,48 @@ def _make_backtrace_packed(st: _Static):
             hits = jnp.all(k_at[:, : st.W] == key[None, :], axis=1) & (
                 k_at[:, 0] != _EMPTY_WORD
             )
+            found = jnp.any(hits)
+            slot = slots[jnp.argmax(hits)]
+            val = t_best[slot] & parmask
+            return jnp.where(found, val, 0), found
+
+        def scan_body(carry, _):
+            coord, done = carry
+            par, found = lookup(coord)
+            at_origin = jnp.all(coord == 0)
+            emit = ~done & ~at_origin & found
+            mask = jnp.where(emit, par, 0)
+            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
+            coord = jnp.where(emit, coord - bits, coord)
+            done = done | at_origin | ~found
+            return (coord, done), mask
+
+        (coord_fin, _), masks = jax.lax.scan(
+            scan_body, (start_coord, False), None, length=tmax
+        )
+        return masks, coord_fin
+
+    return walk
+
+
+def _make_backtrace_sig(st: _Static):
+    """Device-side path walk over the sig table (see _make_backtrace_packed:
+    all probe positions checked as one vectorized gather)."""
+    C = st.C
+    Cmask = np.uint32(C - 1)
+    parmask = np.int32((1 << st.nb) - 1)
+
+    @jax.jit
+    def walk(tab, start_coord):
+        t_sig, t_h, t_best, t_closed = tab
+        tmax = int(st.final_np.sum())
+        rs = jnp.arange(st.max_probes, dtype=jnp.uint32)
+        offs = (rs * (rs + jnp.uint32(1))) >> 1
+
+        def lookup(coord):
+            home, sigb = _sig_encode(st, coord[None, :])
+            slots = ((home[0] + offs) & Cmask).astype(jnp.int32)  # (R,)
+            hits = t_sig[slots] == (sigb[0] | rs)
             found = jnp.any(hits)
             slot = slots[jnp.argmax(hits)]
             val = t_best[slot] & parmask
@@ -1203,8 +1535,9 @@ class TpuFrontierSearch:
                  capacity: Optional[int] = None, max_steps: int = 1_000_000,
                  chunk_steps: int = 64, snapshot_every: int = 0,
                  driver: str = "chunked", checkpoint_path: Optional[str] = None,
-                 checkpoint_every: int = 8):
+                 checkpoint_every: int = 8, layout: str = "auto"):
         self.problem = problem
+        self.layout_pref = layout
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         n = problem.n_seq
         M = (1 << n) - 1
@@ -1249,8 +1582,27 @@ class TpuFrontierSearch:
         self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
         self._make_fns()
 
+    @property
+    def layout(self) -> str:
+        """Resolved table layout: 'sig' | 'packed' | 'unpacked'."""
+        if self.layout_pref != "auto":
+            return self.layout_pref
+        if self.packed and self.st.sig_ok:
+            return "sig"
+        return "packed" if self.packed else "unpacked"
+
     def _make_fns(self):
-        if self.packed:
+        layout = self.layout
+        if layout == "sig":
+            if not (self.packed and self.st.sig_ok):
+                raise ValueError("sig layout requires packed eligibility and "
+                                 "sig_bits <= log2(capacity) + 24")
+            self._step = _make_step_sig(self.st)
+            self._run_loop = _make_run_loop_sig(self.st)
+            self._walk = _make_backtrace_sig(self.st)
+        elif layout == "packed":
+            if not self.packed:
+                raise ValueError("packed layout requires a finite upper bound")
             self._step = _make_step_packed(self.st)
             self._run_loop = _make_run_loop_packed(self.st)
             self._walk = _make_backtrace_packed(self.st)
@@ -1276,13 +1628,34 @@ class TpuFrontierSearch:
         )
         return (t_key, t_best, t_closed)
 
+    def _init_table_sig(self):
+        st = self.st
+        C = st.C
+        t_sig = jnp.full((C,), _EMPTY_WORD, dtype=jnp.uint32)
+        t_h = jnp.zeros((C,), dtype=jnp.int32)
+        t_best = jnp.full((C,), INFP, dtype=jnp.int32)
+        t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
+        root = np.zeros((1, st.n), dtype=np.int32)
+        home, sigb = _sig_encode(st, jnp.asarray(root))
+        home_i = int(np.asarray(home)[0])
+        h_root = self.heuristic.calculate_h(root[0])
+        t_sig = t_sig.at[home_i].set(sigb[0])  # r = 0
+        t_h = t_h.at[home_i].set(h_root)
+        t_best = t_best.at[home_i].set(
+            np.int32((h_root << st.nb) | self.problem.root_parent_mask)
+        )
+        return (t_sig, t_h, t_best, t_closed)
+
     def _init_table(self):
-        if self.packed:
+        layout = self.layout
+        if layout == "sig":
+            return self._init_table_sig()
+        if layout == "packed":
             return self._init_table_packed()
         return self._init_table_unpacked()
 
     def _htab_arg(self):
-        return self.st.d_tables4 if self.packed else self.st.d_tables
+        return self.st.d_tables4 if self.layout != "unpacked" else self.st.d_tables
 
     def _init_table_unpacked(self):
         st = self.st
@@ -1342,7 +1715,7 @@ class TpuFrontierSearch:
         h = hashlib.sha256()
         for s in self.problem.seqs:
             h.update(s.encode())
-        h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{int(self.packed)}".encode())
+        h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{self.layout}".encode())
         return h.hexdigest()[:16]
 
     def _save_checkpoint(self, tab, counters) -> None:

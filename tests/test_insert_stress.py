@@ -169,6 +169,81 @@ class TestInsertPackedStress:
                 assert int(tk[s, st.W]) == model[c][1], "h mismatch"
             assert set(seen) == set(model)
 
+    def test_randomized_batches_match_model_sig(self):
+        # sig layout: identical protocol, single-word exact signatures;
+        # table contents are decoded back via _sig_decode and checked
+        st = _mk_static()
+        assert st.sig_ok
+        C = st.C
+        nb = st.nb
+        rng = random.Random(41)
+        model = {}  # key tuple -> (packed_best, h)
+
+        t_sig = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+        t_h = jnp.zeros((C,), dtype=jnp.int32)
+        t_best = jnp.full((C,), E.INFP, dtype=jnp.int32)
+        t_closed = jnp.full((C,), E.INFP, dtype=jnp.int32)
+        tab = (t_sig, t_h, t_best, t_closed)
+        claim = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+
+        L = 96
+        for step in range(12):
+            coords = np.array(
+                [[rng.randint(0, 4), rng.randint(0, 3), rng.randint(0, 3)]
+                 for _ in range(L)], dtype=np.int32,
+            )
+            f = np.array([rng.randint(1, 500) for _ in range(L)], dtype=np.int32)
+            par = np.array([rng.randint(1, 7) for _ in range(L)], dtype=np.int32)
+            h = np.array([(c[0] * 7 + c[1] * 3 + c[2]) % 50 for c in coords],
+                         dtype=np.int32)
+            packed = (f << nb) | par
+            valid = np.array([rng.random() < 0.8 for _ in range(L)])
+
+            home, sigb = E._sig_encode(st, jnp.asarray(coords))
+            tab, ovf, claim = E._insert_sig(
+                st, tab, home, sigb, jnp.asarray(h), jnp.asarray(packed),
+                jnp.asarray(valid), claim=claim, step_tag=jnp.uint32(step),
+            )
+            assert int(ovf) == 0
+
+            for i in range(L):
+                if not valid[i]:
+                    continue
+                k = tuple(coords[i])
+                cur = model.get(k)
+                if cur is None or int(packed[i]) < cur[0]:
+                    model[k] = (int(packed[i]), int(h[i]))
+
+            ts = np.asarray(tab[0])
+            th = np.asarray(tab[1])
+            tb = np.asarray(tab[2])
+            occ = np.nonzero(ts != 0xFFFFFFFF)[0].astype(np.int32)
+            dec = np.asarray(E._sig_decode(
+                st, jnp.asarray(occ), jnp.asarray(ts[occ])))
+            seen = {}
+            for s, c_arr in zip(occ, dec):
+                c = tuple(int(v) for v in c_arr)
+                assert c not in seen, f"duplicate table entry for {c}"
+                seen[c] = s
+                assert c in model, f"unexpected key {c}"
+                assert tb[s] == model[c][0], (c, tb[s], model[c])
+                assert int(th[s]) == model[c][1], "h mismatch"
+            assert set(seen) == set(model)
+
+    def test_sig_encode_decode_roundtrip(self):
+        st = _mk_static()
+        rng = np.random.default_rng(7)
+        coords = np.stack([rng.integers(0, hi + 1, 512)
+                           for hi in st.final_np], axis=1).astype(np.int32)
+        home, sigb = E._sig_encode(st, jnp.asarray(coords))
+        # decode from the home slot with r=0 (what a stored entry holds)
+        dec = np.asarray(E._sig_decode(st, home.astype(jnp.int32), sigb))
+        np.testing.assert_array_equal(dec, coords)
+        # distinct coords must map to distinct (home, sig) pairs
+        pairs = set(zip(np.asarray(home).tolist(), np.asarray(sigb).tolist()))
+        uniq = {tuple(c) for c in coords.tolist()}
+        assert len(pairs) == len(uniq)
+
     def test_reopen_semantics_via_select(self):
         # equal-f reinsert of a closed slot must NOT reopen; strictly better
         # f must (the reference's `<` rule, pastar/PAStar.cpp:226-231)

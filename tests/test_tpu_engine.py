@@ -111,6 +111,20 @@ class TestEngineEndToEnd:
         res = E.TpuFrontierSearch(p, h, batch=64, capacity=1 << 14).run()
         assert res.g == want
 
+    @pytest.mark.parametrize("layout", ["sig", "packed", "unpacked"])
+    def test_layouts_agree(self, layout):
+        # all three table layouts must find the same optimum and a valid
+        # alignment on PF08184 (the default 'auto' resolves to sig here)
+        p = problem_from_fasta(f"{REF}/PF08184.fasta")
+        h = HPairHeuristic.build(p)
+        eng = E.TpuFrontierSearch(p, h, layout=layout)
+        assert eng.layout == layout
+        res = eng.run()
+        assert res.g == 24450
+        al = build_alignment(p, res.closed)
+        for row, s in zip(al, p.seqs):
+            assert row.replace("-", "") == s
+
     def test_overflow_autoregrow(self):
         # a 32-slot table overflows immediately; the engine must double the
         # capacity and still return the optimal result (never silently lose
