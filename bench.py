@@ -70,7 +70,7 @@ def main() -> None:
     try:
         from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
 
-        keng = TpuFrontierSearch(kin, kin_h, capacity=1 << 24, batch=8192,
+        keng = TpuFrontierSearch(kin, kin_h, capacity=1 << 24, batch=16384,
                                  chunk_steps=64)
         kr = keng.run()  # includes compile (persistent-cached across runs)
         assert kr.g == KINASE_G

@@ -171,15 +171,23 @@ class _Static:
         self.KW = self.W + 1
 
         # sig-mode layout: when the whole lattice coordinate fits in
-        # log2(C) + 24 bits, the slot index itself carries the low key bits
-        # and ONE u32 word (khi << 7 | probe_round) identifies the key
-        # EXACTLY — every probe gather touches 1 word instead of KW, and the
-        # key-row table disappears (see _sig_encode for the bijection proof)
+        # log2(C/ways) + 25 bits, the BUCKET index carries the low key bits
+        # and ONE u32 word (khi << 6 | bucket_probe_round) identifies the key
+        # EXACTLY.  The table is C/8 buckets x 8 ways: one contiguous row
+        # gather reads all 8 candidate slots of a probe position (row gathers
+        # cost ~the same as a single scattered element on this hardware), so
+        # nearly every lookup and every claim settles in ONE random access
+        # (see _sig_encode for the bijection proof).
         self.cbits = self.C.bit_length() - 1
+        self.ways = 8
+        self.nbuck = self.C // self.ways
+        self.bbits = self.cbits - 3
+        self.max_bprobes = 64  # 6-bit r field -> 64 bucket probes = 512 slots
         self.bitw = [max(1, int(v).bit_length()) for v in problem.final_coord]
         self.sig_bits = sum(self.bitw)
-        self.sig_ok = (self.sig_bits <= self.cbits + 24
-                       and self.cbits <= 31 and self.max_probes <= 128)
+        # khi <= 25 bits keeps the stored word < 0xFFFFFFFF (the empty mark)
+        self.sig_ok = (self.sig_bits <= self.bbits + 25
+                       and self.bbits >= 1 and self.cbits <= 31)
 
 
 def _pack_keys(coords: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -235,22 +243,26 @@ def _mix32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sig_encode(st: _Static, coords: jnp.ndarray):
-    """(X, N) coords -> (home slot u32, sig base word u32). EXACT addressing.
+    """(X, N) coords -> (home BUCKET u32, sig base word u32). EXACT addressing.
 
-    The coordinate packs into sig_bits <= cbits + 24 bits, split as
-    klo (low cbits) | khi (the rest).  home = (klo * ODD) ^ (mix32(khi)
-    & Cmask) and the stored word is (khi << 7) | probe_round r.  Given
-    (slot, word): khi = word >> 7, r = word & 127, home = slot - tri(r), and
-    klo = ((home ^ mix32(khi)) * ODD^-1) & Cmask — a bijection, so a
-    single-word match at a probed slot identifies the full key exactly (no
-    hash collisions, unlike a truncated-hash signature).  Keys sharing khi
-    can never collide with each other (odd multiply + XOR by the same
-    constant is injective on klo).  The odd multiply matters: raw klo values
-    are contiguous coordinate runs, which would pile the frontier into a few
-    argmin groups (poor batch selection) and create locally dense probe
-    regions; the multiply scatters them with zero information loss."""
-    cbits = st.cbits
-    Cmask = np.uint32(st.C - 1)
+    The coordinate packs into sig_bits <= bbits + 25 bits, split as
+    klo (low bbits = log2(C/8)) | khi (the rest).  home = (klo * ODD) ^
+    (mix32(khi) & Bmask) is a bucket index; probing is LINEAR over buckets
+    (bucket_r = home + r) and the stored word is (khi << 6) | r.  Given
+    (slot, word): bucket = slot >> 3, khi = word >> 6, r = word & 63,
+    home = bucket - r, and klo = ((home ^ mix32(khi)) * ODD^-1) & Bmask — a
+    bijection, so a single-word match at a probed slot identifies the full
+    key exactly (no hash collisions, unlike a truncated-hash signature).
+    Keys sharing khi can never collide with each other (odd multiply + XOR
+    by the same constant is injective on klo).  The odd multiply matters:
+    raw klo values are contiguous coordinate runs, which would pile the
+    frontier into a few argmin groups (poor batch selection) and create
+    locally dense probe regions; the multiply scatters them with zero
+    information loss.  Linear bucket probing keeps r recoverable; with
+    8-way buckets at <=25% load, full buckets (the only thing that extends
+    a chain) are vanishingly rare, so clustering is a non-issue."""
+    bbits = st.bbits
+    Bmask = np.uint32(st.nbuck - 1)
     X = coords.shape[0]
     lo = jnp.zeros((X,), jnp.uint32)
     hi = jnp.zeros((X,), jnp.uint32)
@@ -264,25 +276,25 @@ def _sig_encode(st: _Static, coords: jnp.ndarray):
         else:
             hi = hi | (c << np.uint32(sh - 32))
         sh += st.bitw[i]
-    klo = lo & Cmask
-    khi = (lo >> np.uint32(cbits))
+    klo = lo & Bmask
+    khi = (lo >> np.uint32(bbits))
     if st.sig_bits > 32:
-        khi = khi | (hi << np.uint32(32 - cbits))
-    home = ((klo * _SIG_ODD) & Cmask) ^ (_mix32(khi) & Cmask)
-    return home, khi << np.uint32(7)
+        khi = khi | (hi << np.uint32(32 - bbits))
+    home = ((klo * _SIG_ODD) & Bmask) ^ (_mix32(khi) & Bmask)
+    return home, khi << np.uint32(6)
 
 
 def _sig_decode(st: _Static, slots: jnp.ndarray, sig: jnp.ndarray):
     """Invert _sig_encode: (slot i32, stored sig word u32) -> (X, N) coords."""
-    cbits = st.cbits
-    Cmask = np.uint32(st.C - 1)
-    r = sig & np.uint32(127)
-    khi = sig >> np.uint32(7)
-    off = (r * (r + np.uint32(1))) >> np.uint32(1)
-    home = (slots.astype(jnp.uint32) - off) & Cmask
-    klo = (((home ^ (_mix32(khi) & Cmask)) * _SIG_ODD_INV) & Cmask)
-    lo = klo | (khi << np.uint32(cbits))
-    hi = khi >> np.uint32(32 - cbits) if st.sig_bits > 32 else jnp.zeros_like(khi)
+    bbits = st.bbits
+    Bmask = np.uint32(st.nbuck - 1)
+    r = sig & np.uint32(63)
+    khi = sig >> np.uint32(6)
+    bucket = slots.astype(jnp.uint32) >> np.uint32(3)
+    home = (bucket - r) & Bmask
+    klo = (((home ^ (_mix32(khi) & Bmask)) * _SIG_ODD_INV) & Bmask)
+    lo = klo | (khi << np.uint32(bbits))
+    hi = khi >> np.uint32(32 - bbits) if st.sig_bits > 32 else jnp.zeros_like(khi)
     out = []
     sh = 0
     for i in range(st.n):
@@ -328,8 +340,12 @@ def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
-            htab=None, henc=None):
+            htab=None, henc=None, g_is_f=False):
     """Expand a batch: (B, N) coords -> all-mask successor candidates.
+
+    With ``g_is_f`` the g argument is the parent's f; the parent's h is
+    recovered for free from the T4 heuristic gather (the k=0 cell is the
+    table value at the parent's own pair coordinate) and g = f - h.
 
     Returns flat (B*M,) candidate arrays: keys (B*M, W), g, f, move mask, valid.
     """
@@ -400,6 +416,11 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
     h = (h_hi.astype(jnp.int32) << 12) + h_lo.astype(jnp.int32)  # (B, M)
+
+    if g_is_f:
+        # h(parent) = sum_p w_p * table_p[cx, cy] — exactly t4w's k=0 cell
+        h_par = jnp.sum(t4w[:, :, 0], axis=1)  # (B,) int32, exact
+        g = g - h_par
 
     g_child = g[:, None] + cost
     f_child = g_child + h
@@ -774,43 +795,84 @@ def _probe_body_packed_factory(st: _Static, rows, idx_orig, step_tag):
     return body
 
 
-def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag):
-    """One probing round, sig layout (see _sig_encode).
+def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
+                            use_rec_row=False):
+    """One probing CALL, bucketed sig layout (see _sig_encode).
 
-    Record columns: [home, sig base, h].  A match is ONE u32 compare against
-    (khi << 7 | r) — exact, because (slot, r, khi) reconstructs the key.
-    `store` is (t_sig, t_h)."""
+    Record columns: [home bucket, sig base, 8 bucket-row words from the
+    round-0 gather].  One call reads the 8-way bucket row (one contiguous
+    row gather — all 8 probe positions at once; with ``use_rec_row`` the
+    FIRST call reuses the round-0 row carried through compaction, saving
+    the gather entirely — nothing is written between round 0 and call 1),
+    settles matches, and lets new keys claim the first empty way.  All
+    contenders for a bucket pick the SAME way (first empty), so at most one
+    way per bucket fills per call; a claim loser checks the single claimed
+    slot (the winner may be its duplicate — one element gather, not a row
+    re-gather) and otherwise RETRIES THE SAME BUCKET next call if an empty
+    way remains — only a full bucket advances the probe to bucket+1.
+
+    The per-candidate probe position lives in the carry's slot word: for an
+    unsettled lane it holds the CURRENT BUCKET (sentinel C = fresh, start at
+    home; bucket values < C/8 < C never collide with the sentinel); once
+    settled it holds the final slot.  No-deletion fullness monotonicity
+    makes the walk exact: a key stored at round r implies buckets
+    home..home+r-1 were full at insert time and stay full, so an insert of
+    an existing key always matches before it can claim.
+
+    `store` is (t_sig,); carry position 0 is the global call counter k
+    (claim-tag uniqueness + loop cap)."""
     C = st.C
-    Cmask = np.uint32(C - 1)
+    NB = st.nbuck
+    ways = st.ways
+    Bmask = np.uint32(NB - 1)
     Lfull = np.uint32(st.B * st.M)
     home = jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32)
     sigb = jax.lax.bitcast_convert_type(rows[:, 1], jnp.uint32)
-    hh = rows[:, 2]
+    rec_row = jax.lax.bitcast_convert_type(rows[:, 2:2 + ways], jnp.uint32)
 
     def body(carry):
-        r, done, slot_out, store, claim = carry
-        t_sig, t_h = store
-        slot = _probe_slot(home, r, Cmask)
-        slot_c = jnp.clip(slot, 0, C - 1)
-        sig_r = sigb | r.astype(jnp.uint32)
-        s_at = t_sig[slot_c]
-        occ = s_at != _EMPTY_WORD
-        match = (s_at == sig_r) & ~done
-        empty = ~occ & ~done
+        k, done, sval, store, claim = carry
+        (t_sig,) = store
+        cur = (jnp.where(sval == C, home.astype(jnp.int32), sval)
+               .astype(jnp.uint32) & Bmask)
+        r = (cur - home) & Bmask
+        ok_r = r < np.uint32(st.max_bprobes)
+        word = sigb | jnp.minimum(r, np.uint32(st.max_bprobes - 1))
+        live = ~done & ok_r
+        if use_rec_row:
+            row = rec_row
+        else:
+            buck = jnp.where(live, cur.astype(jnp.int32), NB)
+            row = t_sig.reshape(NB, ways)[jnp.clip(buck, 0, NB - 1)]  # (X, 8)
+        match_w = (row == word[:, None]) & live[:, None]
+        is_match = jnp.any(match_w, axis=1)
+        mway = jnp.argmax(match_w, axis=1).astype(jnp.int32)
+        empty_w = row == _EMPTY_WORD
+        ecnt = jnp.sum(empty_w.astype(jnp.int32), axis=1)
+        has_empty = ecnt > 0
+        fway = jnp.argmax(empty_w, axis=1).astype(jnp.int32)
+        eslot = cur.astype(jnp.int32) * ways + fway
+        try_claim = live & ~is_match & has_empty
 
-        tag = (step_tag * np.uint32(st.max_probes) + r.astype(jnp.uint32)) * Lfull + idx_orig
-        claim = claim.at[jnp.where(empty, slot, C)].set(tag, mode="drop")
-        won = empty & (claim[slot_c] == tag)
-        wslot = jnp.where(won, slot, C)
-        t_sig = t_sig.at[wslot].set(sig_r, mode="drop")
-        t_h = t_h.at[wslot].set(hh, mode="drop")
-        s_at2 = t_sig[slot_c]
-        match2 = (s_at2 == sig_r) & ~done & ~won & ~match
+        tag = (step_tag * np.uint32(st.max_probes) + k.astype(jnp.uint32)) * Lfull + idx_orig
+        claim = claim.at[jnp.where(try_claim, eslot, C)].set(tag, mode="drop")
+        won = try_claim & (claim[jnp.clip(eslot, 0, C - 1)] == tag)
+        t_sig = t_sig.at[jnp.where(won, eslot, C)].set(word, mode="drop")
+        # losers check the one claimed slot: the winner may be a duplicate
+        w_at = t_sig[jnp.clip(eslot, 0, C - 1)]
+        lost = try_claim & ~won
+        is_m2 = lost & (w_at == word)
 
-        settled = match | won | match2
-        slot_out = jnp.where(settled, slot, slot_out)
+        settled = is_match | won | is_m2
+        way_fin = jnp.where(is_match, mway, fway)  # won/m2 settle at fway
+        slot_fin = cur.astype(jnp.int32) * ways + way_fin
+        # advance only when the bucket is (now) full: no empty way at all,
+        # or a lost claim consumed the last one
+        now_full = (~has_empty) | (lost & (ecnt == 1))
+        cur_next = jnp.where(now_full, (cur + 1) & Bmask, cur).astype(jnp.int32)
+        sval = jnp.where(done, sval, jnp.where(settled, slot_fin, cur_next))
         done = done | settled
-        return r + 1, done, slot_out, (t_sig, t_h), claim
+        return k + 1, done, sval, (t_sig,), claim
 
     return body
 
@@ -1012,35 +1074,111 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     return (t_key, t_best, t_closed), overflow, claim
 
 
-def _insert_core_sig(st: _Static, tab, claim, home, sigb, h_arr, packed,
-                     valid, step_tag):
-    """Probe + place, sig layout: single-word exact signatures (_sig_encode).
+def _insert_cascade_sig(st: _Static, store, claim, rec, valid, step_tag,
+                        lookup0, make_body):
+    """Width cascade for the bucketed sig layout — ONE cond total.
 
-    See _insert_cascade for the width-cascade structure."""
-    t_sig, t_h, t_best, t_closed = tab
+    With 8-way buckets a candidate's whole fate usually resolves in the
+    round-0 row gather (match) or the first claim call, so there is no
+    tier-B/C machinery: non-matching lanes are compacted to quarter width
+    once, the first claim call reuses the round-0 bucket rows carried
+    through compaction (zero gathers), and a while_loop at the same width
+    mops up claim conflicts and full-bucket chains — it runs ZERO iterations
+    when the first call settles everyone, which is the common case."""
     C = st.C
+    L = rec.shape[0]
+    R = st.max_probes
+
+    match, slot0, rec = lookup0(store, rec)  # augments rec with bucket rows
+    match = match & valid
+    done = match
+    slot = jnp.where(match, slot0, C)
+
+    def run_loop(body, carry):
+        def cond(c):
+            k, dn, _, _, _ = c
+            return (k < R) & jnp.any(~dn)
+        return jax.lax.while_loop(cond, body, carry)
+
+    def run_at(rows, carry):
+        idx = jnp.arange(rows.shape[0], dtype=jnp.uint32)
+        first = make_body(rows, idx, step_tag, use_rec_row=True)
+        carry = first(carry)
+        return run_loop(make_body(rows, idx, step_tag), carry)
+
+    un = valid & ~done
+    Ma = max(L // 4, 1024)
+    if Ma >= L:
+        _, dn, slot, store, claim = run_at(
+            rec, (jnp.int32(0), done | ~valid, slot, store, claim))
+        return store, claim, dn & valid, slot
+
+    nvA = _prefix_sum(un.astype(jnp.int32))
+    fitsA = nvA[-1] <= Ma
+
+    def tierA(op):
+        store, claim, done, slot = op
+        rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
+        _, adone, aslot, store, claim = run_at(
+            rowsA, (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
+                    store, claim))
+        posA = jnp.clip(jnp.where(un, nvA - 1, Ma), 0, Ma - 1)
+        asd = (aslot << 1) | adone.astype(jnp.int32)
+        sdA = asd[posA]
+        slot = jnp.where(un, sdA >> 1, slot)
+        done = jnp.where(un, (sdA & 1) == 1, done)
+        return store, claim, done, slot
+
+    def wideA(op):
+        store, claim, done, slot = op
+        _, dn, slot, store, claim = run_at(
+            rec, (jnp.int32(0), done | ~valid, slot, store, claim))
+        return store, claim, dn & valid, slot
+
+    store, claim, done, slot = jax.lax.cond(
+        fitsA, tierA, wideA, (store, claim, done, slot))
+    return store, claim, done, slot
+
+
+def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
+                     valid, step_tag):
+    """Probe + place, bucketed sig layout (single-word exact signatures,
+    8-way bucket rows — see _sig_encode and _probe_body_sig_factory).
+
+    No h column: the layout stores nothing but the sig word per slot —
+    selection recovers g from f via the parent's h, which _expand computes
+    for free from its T4 heuristic gather.
+
+    See _insert_cascade_sig for the width-cascade structure."""
+    t_sig, t_best, t_closed = tab
+    C = st.C
+    NB = st.nbuck
+    ways = st.ways
     rec = jnp.stack(
         [jax.lax.bitcast_convert_type(home, jnp.int32),
-         jax.lax.bitcast_convert_type(sigb, jnp.int32),
-         h_arr], axis=1)
+         jax.lax.bitcast_convert_type(sigb, jnp.int32)], axis=1)
 
     def lookup0(store, rec):
-        t_sig, _ = store
+        (t_sig,) = store
         rhome = jax.lax.bitcast_convert_type(rec[:, 0], jnp.uint32)
         rsigb = jax.lax.bitcast_convert_type(rec[:, 1], jnp.uint32)
-        slot0 = rhome.astype(jnp.int32)  # r=0 probe IS the home slot
-        s_at = t_sig[jnp.clip(slot0, 0, C - 1)]
-        match = (s_at == rsigb) & (s_at != _EMPTY_WORD)
-        return match, slot0
+        buck = (rhome & np.uint32(NB - 1)).astype(jnp.int32)
+        row = t_sig.reshape(NB, ways)[jnp.clip(buck, 0, NB - 1)]  # (L, 8)
+        match_w = row == rsigb[:, None]  # r=0 word IS the sig base
+        match = jnp.any(match_w, axis=1)
+        slot0 = buck * ways + jnp.argmax(match_w, axis=1).astype(jnp.int32)
+        rec = jnp.concatenate(
+            [rec, jax.lax.bitcast_convert_type(row, jnp.int32)], axis=1)
+        return match, slot0, rec
 
     make_body = partial(_probe_body_sig_factory, st)
-    (t_sig, t_h), claim, done, slot = _insert_cascade(
-        st, (t_sig, t_h), claim, rec, valid, step_tag, lookup0, make_body)
+    (t_sig,), claim, done, slot = _insert_cascade_sig(
+        st, (t_sig,), claim, rec, valid, step_tag, lookup0, make_body)
 
     overflow = jnp.sum(valid & ~done)
     placed = valid & done
     t_best = t_best.at[jnp.where(placed, slot, C)].min(packed, mode="drop")
-    return (t_sig, t_h, t_best, t_closed), overflow, claim
+    return (t_sig, t_best, t_closed), overflow, claim
 
 
 def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
@@ -1097,7 +1235,11 @@ def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
 def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
                 claim=None, step_tag=None):
     """Batch insert, sig layout, with adaptive width compaction (the sig
-    twin of _insert_packed — see there for why compaction pays)."""
+    twin of _insert_packed — see there for why compaction pays).
+
+    ``h_arr`` is accepted for signature parity with _insert_packed but
+    unused: the bucketed sig layout stores no h (see _insert_core_sig)."""
+    del h_arr
     L = home.shape[0]
     if claim is None:
         claim = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
@@ -1105,7 +1247,7 @@ def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
         step_tag = jnp.uint32(0)
 
     if L <= 4096 or st.C <= (1 << 20):
-        return _insert_core_sig(st, tab, claim, home, sigb, h_arr, packed,
+        return _insert_core_sig(st, tab, claim, home, sigb, packed,
                                 valid, step_tag)
 
     nv = _prefix_sum(valid.astype(jnp.int32))
@@ -1113,7 +1255,7 @@ def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
     cols = jnp.stack(
         [jax.lax.bitcast_convert_type(home, jnp.int32),
          jax.lax.bitcast_convert_type(sigb, jnp.int32),
-         h_arr, packed], axis=1)
+         packed], axis=1)
 
     def compact_to(Lc):
         def run(op):
@@ -1123,12 +1265,12 @@ def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
                 st, tab, claim,
                 jax.lax.bitcast_convert_type(crows[:, 0], jnp.uint32),
                 jax.lax.bitcast_convert_type(crows[:, 1], jnp.uint32),
-                crows[:, 2], crows[:, 3], cvalid, step_tag)
+                crows[:, 2], cvalid, step_tag)
         return run
 
     def full_path(op):
         tab, claim = op
-        return _insert_core_sig(st, tab, claim, home, sigb, h_arr, packed,
+        return _insert_core_sig(st, tab, claim, home, sigb, packed,
                                 valid, step_tag)
 
     def half_or_full(op):
@@ -1140,9 +1282,13 @@ def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
 
 def _select_sig(st: _Static, tab, goal_g, thr):
     """Grouped-argmin batch selection, sig layout: coords are reconstructed
-    from (slot, sig word) by inverting the _sig_encode bijection; h comes
-    from the companion t_h array."""
-    t_sig, t_h, t_best, t_closed = tab
+    from (slot, sig word) by inverting the _sig_encode bijection.
+
+    Returns f (not g) in the g position: the layout stores no h, so g is
+    recovered downstream in _expand as f - h(parent), where h(parent) falls
+    out of the T4 heuristic gather for free (the k=0 cell IS the parent's
+    pair coordinate)."""
+    t_sig, t_best, t_closed = tab
     C, B, nb = st.C, st.B, st.nb
     G = C // B
 
@@ -1164,12 +1310,11 @@ def _select_sig(st: _Static, tab, goal_g, thr):
     slot_c = jnp.clip(slots, 0, C - 1)
 
     coords = _sig_decode(st, slot_c, t_sig[slot_c])  # (B, N)
-    h_sel = t_h[slot_c]
-    g = (vmin >> nb) - h_sel
+    f_sel = vmin >> nb
     par = vmin & ((1 << nb) - 1)
     reopen_ct = jnp.sum(active & (t_closed[slot_c] < INFP))
     t_closed = t_closed.at[jnp.where(active, slots, C)].set(vmin, mode="drop")
-    return ((t_sig, t_h, t_best, t_closed), coords, g, par, active,
+    return ((t_sig, t_best, t_closed), coords, f_sel, par, active,
             fmin, n_open, n_selected, reopen_ct)
 
 
@@ -1229,7 +1374,7 @@ def _candidates_sig(st: _Static, keys, child):
 
 
 def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
-                      cand_fn=None):
+                      cand_fn=None, g_is_f=False):
     """Single super-step (select -> expand -> insert); shared by the packed
     and sig layouts — the layout plugs in via the three functions."""
     select_fn = select_fn or _select_packed
@@ -1241,7 +1386,7 @@ def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
         tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
             st, tab, goal_g, thr)
         keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-            st, coords, g, par, active, None, htab, henc)
+            st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f)
         valid = valid & (f_c <= ub)
         packed = (f_c << st.nb) | mask_c
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
@@ -1256,11 +1401,12 @@ def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
 
 
 def _make_step_sig(st: _Static):
-    return _make_step_packed(st, _select_sig, _insert_sig, _candidates_sig)
+    return _make_step_packed(st, _select_sig, _insert_sig, _candidates_sig,
+                             g_is_f=True)
 
 
 def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
-                          cand_fn=None):
+                          cand_fn=None, g_is_f=False):
     """Chunked on-device driver, packed/sig layouts (see _make_run_loop)."""
     select_fn = select_fn or _select_packed
     insert_fn = insert_fn or _insert_packed
@@ -1284,7 +1430,7 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
             tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
                 st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-                st, coords, g, par, active, None, htab, henc)
+                st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f)
             valid = valid & (f_c <= ub)
             packed = (f_c << st.nb) | mask_c
             goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
@@ -1311,7 +1457,8 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
 
 
 def _make_run_loop_sig(st: _Static):
-    return _make_run_loop_packed(st, _select_sig, _insert_sig, _candidates_sig)
+    return _make_run_loop_packed(st, _select_sig, _insert_sig,
+                                 _candidates_sig, g_is_f=True)
 
 
 def _make_backtrace_packed(st: _Static):
@@ -1363,25 +1510,28 @@ def _make_backtrace_packed(st: _Static):
 
 
 def _make_backtrace_sig(st: _Static):
-    """Device-side path walk over the sig table (see _make_backtrace_packed:
-    all probe positions checked as one vectorized gather)."""
-    C = st.C
-    Cmask = np.uint32(C - 1)
+    """Device-side path walk over the bucketed sig table (see
+    _make_backtrace_packed: all probe positions checked as one vectorized
+    gather — here a (max_bprobes, 8) block of bucket rows)."""
+    NB = st.nbuck
+    ways = st.ways
+    Bmask = np.uint32(NB - 1)
     parmask = np.int32((1 << st.nb) - 1)
 
     @jax.jit
     def walk(tab, start_coord):
-        t_sig, t_h, t_best, t_closed = tab
+        t_sig, t_best, t_closed = tab
         tmax = int(st.final_np.sum())
-        rs = jnp.arange(st.max_probes, dtype=jnp.uint32)
-        offs = (rs * (rs + jnp.uint32(1))) >> 1
+        rs = jnp.arange(st.max_bprobes, dtype=jnp.uint32)
 
         def lookup(coord):
             home, sigb = _sig_encode(st, coord[None, :])
-            slots = ((home[0] + offs) & Cmask).astype(jnp.int32)  # (R,)
-            hits = t_sig[slots] == (sigb[0] | rs)
+            bucks = ((home[0] + rs) & Bmask).astype(jnp.int32)  # (R,)
+            rows = t_sig.reshape(NB, ways)[bucks]  # (R, 8)
+            hits = rows == (sigb[0] | rs)[:, None]
             found = jnp.any(hits)
-            slot = slots[jnp.argmax(hits)]
+            flat = jnp.argmax(hits.reshape(-1))
+            slot = bucks[flat // ways] * ways + (flat % ways).astype(jnp.int32)
             val = t_best[slot] & parmask
             return jnp.where(found, val, 0), found
 
@@ -1541,8 +1691,6 @@ class TpuFrontierSearch:
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         n = problem.n_seq
         M = (1 << n) - 1
-        if batch is None:
-            batch = max(64, min(8192, (1 << 19) // M))
         if capacity is None:
             lattice = 1
             for L in problem.final_coord:
@@ -1552,6 +1700,14 @@ class TpuFrontierSearch:
             # probe chains (and with them the whole insert tail) blow up past
             # ~25% load, so size generously: ~1 GB of table arrays at 2^25
             capacity = min(1 << 25, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 25))))
+        if batch is None:
+            # ~0.5M candidates/step on big searches: per-op latency floors
+            # dominate below that, expansion waste (batch slack) dominates
+            # far above it (measured on kinase: B=16384 beats 8192 and
+            # 32768); small tables keep the old 8192 cap — their searches
+            # are short and wide batches just add slack
+            cap_b = 16384 if capacity >= (1 << 22) else 8192
+            batch = max(64, min(cap_b, (1 << 19) // M))
         batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.st = _Static(problem, self.heuristic, batch, capacity)
@@ -1632,19 +1788,17 @@ class TpuFrontierSearch:
         st = self.st
         C = st.C
         t_sig = jnp.full((C,), _EMPTY_WORD, dtype=jnp.uint32)
-        t_h = jnp.zeros((C,), dtype=jnp.int32)
         t_best = jnp.full((C,), INFP, dtype=jnp.int32)
         t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
         root = np.zeros((1, st.n), dtype=np.int32)
         home, sigb = _sig_encode(st, jnp.asarray(root))
-        home_i = int(np.asarray(home)[0])
+        slot_i = int(np.asarray(home)[0]) * st.ways  # way 0 of the home bucket
         h_root = self.heuristic.calculate_h(root[0])
-        t_sig = t_sig.at[home_i].set(sigb[0])  # r = 0
-        t_h = t_h.at[home_i].set(h_root)
-        t_best = t_best.at[home_i].set(
+        t_sig = t_sig.at[slot_i].set(sigb[0])  # r = 0
+        t_best = t_best.at[slot_i].set(
             np.int32((h_root << st.nb) | self.problem.root_parent_mask)
         )
-        return (t_sig, t_h, t_best, t_closed)
+        return (t_sig, t_best, t_closed)
 
     def _init_table(self):
         layout = self.layout
@@ -1716,6 +1870,9 @@ class TpuFrontierSearch:
         for s in self.problem.seqs:
             h.update(s.encode())
         h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{self.layout}".encode())
+        if self.layout == "sig":
+            # bucketed-sig format, v2 = no t_h array
+            h.update(f":w{self.st.ways}v2".encode())
         return h.hexdigest()[:16]
 
     def _save_checkpoint(self, tab, counters) -> None:

@@ -170,8 +170,8 @@ class TestInsertPackedStress:
             assert set(seen) == set(model)
 
     def test_randomized_batches_match_model_sig(self):
-        # sig layout: identical protocol, single-word exact signatures;
-        # table contents are decoded back via _sig_decode and checked
+        # sig layout: identical protocol, single-word exact signatures in
+        # 8-way buckets; table contents are decoded back via _sig_decode
         st = _mk_static()
         assert st.sig_ok
         C = st.C
@@ -180,10 +180,9 @@ class TestInsertPackedStress:
         model = {}  # key tuple -> (packed_best, h)
 
         t_sig = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
-        t_h = jnp.zeros((C,), dtype=jnp.int32)
         t_best = jnp.full((C,), E.INFP, dtype=jnp.int32)
         t_closed = jnp.full((C,), E.INFP, dtype=jnp.int32)
-        tab = (t_sig, t_h, t_best, t_closed)
+        tab = (t_sig, t_best, t_closed)
         claim = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
 
         L = 96
@@ -215,8 +214,7 @@ class TestInsertPackedStress:
                     model[k] = (int(packed[i]), int(h[i]))
 
             ts = np.asarray(tab[0])
-            th = np.asarray(tab[1])
-            tb = np.asarray(tab[2])
+            tb = np.asarray(tab[1])
             occ = np.nonzero(ts != 0xFFFFFFFF)[0].astype(np.int32)
             dec = np.asarray(E._sig_decode(
                 st, jnp.asarray(occ), jnp.asarray(ts[occ])))
@@ -227,7 +225,6 @@ class TestInsertPackedStress:
                 seen[c] = s
                 assert c in model, f"unexpected key {c}"
                 assert tb[s] == model[c][0], (c, tb[s], model[c])
-                assert int(th[s]) == model[c][1], "h mismatch"
             assert set(seen) == set(model)
 
     def test_sig_encode_decode_roundtrip(self):
@@ -236,8 +233,10 @@ class TestInsertPackedStress:
         coords = np.stack([rng.integers(0, hi + 1, 512)
                            for hi in st.final_np], axis=1).astype(np.int32)
         home, sigb = E._sig_encode(st, jnp.asarray(coords))
-        # decode from the home slot with r=0 (what a stored entry holds)
-        dec = np.asarray(E._sig_decode(st, home.astype(jnp.int32), sigb))
+        # decode from way 0 of the home bucket with r=0 (what a stored
+        # entry holds)
+        dec = np.asarray(E._sig_decode(
+            st, (home.astype(jnp.int32) * st.ways), sigb))
         np.testing.assert_array_equal(dec, coords)
         # distinct coords must map to distinct (home, sig) pairs
         pairs = set(zip(np.asarray(home).tolist(), np.asarray(sigb).tolist()))
