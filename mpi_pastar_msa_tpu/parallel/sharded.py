@@ -49,10 +49,13 @@ from ..search.engine import (
     _hash_keys,
     _insert,
     _insert_packed,
+    _insert_sig,
     _pack_keys,
     _probe_slot,
     _select,
     _select_packed,
+    _select_sig,
+    _sig_encode,
 )
 from .partition import owner_fn
 
@@ -148,6 +151,186 @@ def _route_packed(st: _Static, ndev: int, owner, coords, keys, h_c, packed, vali
     rk = xch(buf_k)
     rvalid = rk[:, 0] != _EMPTY_WORD
     return rk, rh, rp, rvalid
+
+
+def _route_sig(st: _Static, ndev: int, owner, child, home, sigb, packed, valid):
+    """Sig-layout migration: the wire is 3 words per node — (home bucket,
+    sig word, packed (f,par)) — because the (home, sig) pair IS the full key
+    (see engine._sig_encode) and the layout stores no h.  Beats the packed
+    wire (W key words + h + packed) at any N."""
+    L = home.shape[0]
+    dest = jnp.where(valid, owner(child), ndev).astype(jnp.int32)
+
+    sort_in = (dest, packed, home, sigb)
+    dest_s, packed_s, home_s, sigb_s = jax.lax.sort(sort_in, num_keys=1)
+
+    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest_s].add(1, mode="drop")
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    idx = jnp.arange(L, dtype=jnp.int32)
+    col = idx - starts[jnp.clip(dest_s, 0, ndev)]
+
+    flat = jnp.where(dest_s < ndev, dest_s * L + col, ndev * L)
+    buf_p = jnp.full((ndev * L,), INFP, jnp.int32).at[flat].set(packed_s, mode="drop")
+    buf_h = jnp.zeros((ndev * L,), jnp.uint32).at[flat].set(home_s, mode="drop")
+    buf_s = jnp.full((ndev * L,), _EMPTY_WORD, jnp.uint32).at[flat].set(
+        sigb_s, mode="drop"
+    )
+
+    def xch(x):
+        return jax.lax.all_to_all(
+            x.reshape((ndev, L) + x.shape[1:]), AXIS, 0, 0, tiled=False
+        ).reshape((ndev * L,) + x.shape[1:])
+
+    rp = xch(buf_p)
+    rh = xch(buf_h)
+    rs = xch(buf_s)
+    rvalid = rs != _EMPTY_WORD  # a real sig word is always < 0xFFFFFFFF
+    return rh, rs, rp, rvalid
+
+
+def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
+                          hash_type: str, hash_shift: int):
+    """Bucketed-sig sharded search (see engine.py sig-path notes)."""
+    own = owner_fn(hash_type, ndev, hash_shift)
+    root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
+    goal_owner_np = int(own(st.final_np[None, :])[0])
+
+    def init_fn(root_h_arr):
+        dev = jax.lax.axis_index(AXIS)
+        C = st.C
+        t_sig = jnp.full((C,), _EMPTY_WORD, dtype=jnp.uint32)
+        t_best = jnp.full((C,), INFP, dtype=jnp.int32)
+        t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
+
+        root = jnp.zeros((1, st.n), dtype=jnp.int32)
+        home, sigb = _sig_encode(st, root)
+        slot = home[0].astype(jnp.int32) * st.ways  # way 0 of the home bucket
+        is_owner = dev == root_owner
+        wslot = jnp.where(is_owner, slot, C)
+        t_sig = t_sig.at[wslot].set(sigb[0], mode="drop")
+        t_best = t_best.at[wslot].set(
+            (root_h_arr[0] << st.nb) | ((1 << st.n) - 1), mode="drop")
+        return t_sig, t_best, t_closed
+
+    def chunk_fn(t_sig, t_best, t_closed, counters, shard_ctr,
+                 chunk_steps, ub, htab, henc):
+        tab = (t_sig, t_best, t_closed)
+        goal0, steps0 = counters[0], counters[2]
+        me = jax.lax.axis_index(AXIS)
+        exp0, reop0 = shard_ctr[me, 0], shard_ctr[me, 1]
+
+        claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+
+        def cond(carry):
+            _, _, goal_g, fmin_g, thr, steps, _, _, _, ovf, local = carry
+            return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
+
+        def body(carry):
+            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
+            tab, coords, f_sel, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
+                _select_sig(st, tab, goal_g, thr))
+            keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
+                st, coords, f_sel, par, active, None, htab, henc, g_is_f=True
+            )
+            valid = valid & (f_c <= ub[0])
+            packed = (f_c << st.nb) | mask_c
+            goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
+            home, sigb = _sig_encode(st, child)
+            rh, rs, rp, rvalid = _route_sig(
+                st, ndev, own, child, home, sigb, packed, valid
+            )
+            tab, ovf_l, claim = _insert_sig(
+                st, tab, rh, rs, None, rp, rvalid,
+                claim=claim, step_tag=local.astype(jnp.uint32),
+            )
+            # global consensus (the two MPI_Allreduce analogues,
+            # ref: pastar/PAStar.cpp:502-519)
+            goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
+            fmin_g = jax.lax.pmin(fmin_l, AXIS)
+            from ..search.engine import _adapt_thr
+
+            thr = _adapt_thr(thr, jax.lax.psum(n_sel, AXIS), st.B * ndev)
+            return (tab, claim, goal_g, fmin_g, thr, steps + 1,
+                    expanded + jnp.sum(active),
+                    reopen + reopen_ct,
+                    n_open_l,
+                    ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
+
+        z32 = jnp.asarray(np.int32(0))
+        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, z32, z32)
+        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, _ = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        closed_ct = jnp.sum(tab[1] >= tab[2]).astype(jnp.int32) - jnp.sum(
+            tab[1] == INFP).astype(jnp.int32)
+        stats = jnp.stack([goal_g, fmin_g, steps, ovf])
+        shard_stats = jax.lax.all_gather(
+            jnp.stack([expanded, reopen, closed_ct, n_open]), AXIS
+        )
+        return tab + (stats, shard_stats)
+
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
+    init_jit = jax.jit(jax.shard_map(
+        init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
+        check_vma=False,
+    ))
+    chunk_jit = jax.jit(jax.shard_map(
+        chunk_fn, mesh=mesh,
+        in_specs=spec_tab + (P(None), P(None), P(None), P(None), P(None), P(None)),
+        out_specs=spec_tab + (P(None), P(None)),
+        check_vma=False,
+    ), donate_argnums=(0, 1, 2))
+    return init_jit, chunk_jit, goal_owner_np
+
+
+def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
+    NB = st.nbuck
+    ways = st.ways
+    Bmask = np.uint32(NB - 1)
+    parmask = np.int32((1 << st.nb) - 1)
+
+    def device_fn(t_sig, t_best, t_closed, start):
+        tmax = int(st.final_np.sum())
+        rs = jnp.arange(st.max_bprobes, dtype=jnp.uint32)
+
+        def lookup(coord):
+            home, sigb = _sig_encode(st, coord[None, :])
+            bucks = ((home[0] + rs) & Bmask).astype(jnp.int32)  # (R,)
+            rows = t_sig.reshape(NB, ways)[bucks]  # (R, 8)
+            hits = rows == (sigb[0] | rs)[:, None]
+            found = jnp.any(hits)
+            flat = jnp.argmax(hits.reshape(-1))
+            slot = bucks[flat // ways] * ways + (flat % ways).astype(jnp.int32)
+            val = jnp.where(found, t_best[slot] & parmask, 0)
+            # owner shard answers; psum broadcasts to everyone
+            val = jax.lax.psum(val, AXIS)
+            found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
+            return val, found
+
+        def scan_body(carry, _):
+            coord, done = carry
+            par, found = lookup(coord)
+            at_origin = jnp.all(coord == 0)
+            emit = ~done & ~at_origin & found
+            mask = jnp.where(emit, par, 0)
+            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
+            coord = jnp.where(emit, coord - bits, coord)
+            done = done | at_origin | ~found
+            return (coord, done), mask
+
+        (coord_fin, _), masks = jax.lax.scan(
+            scan_body, (start, False), None, length=tmax
+        )
+        return masks, coord_fin
+
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
+    fn = jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=spec_tab + (P(None),),
+        out_specs=(P(None), P(None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
@@ -458,7 +641,9 @@ class ShardedFrontierSearch:
     def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
                  devices=None, hash_type: str = "FZORDER", hash_shift: int = 12,
                  batch: Optional[int] = None, capacity: Optional[int] = None,
-                 max_steps: int = 500_000, chunk_steps: int = 256):
+                 max_steps: int = 500_000, chunk_steps: int = 256,
+                 layout: str = "auto"):
+        self.layout_pref = layout
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         if devices is None:
@@ -500,7 +685,23 @@ class ShardedFrontierSearch:
         else:
             self.ub = int(INF)
         self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
-        if self.packed:
+        if self.layout_pref != "auto":
+            self.layout = self.layout_pref
+            if self.layout == "sig" and not (self.packed and self.st.sig_ok):
+                raise ValueError("sig layout requires packed eligibility and "
+                                 "a sig-encodable lattice")
+            if self.layout == "packed" and not self.packed:
+                raise ValueError("packed layout requires a finite upper bound")
+        else:
+            self.layout = ("sig" if self.packed and self.st.sig_ok
+                           else "packed" if self.packed else "unpacked")
+        if self.layout == "sig":
+            self._init, self._chunk, self._goal_owner = _make_sharded_run_sig(
+                self.st, self.mesh, self.ndev, hash_type, hash_shift
+            )
+            self._walk = _make_sharded_walk_sig(self.st, self.mesh, self.ndev)
+            self._ntab = 3
+        elif self.layout == "packed":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_packed(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift
             )
@@ -550,18 +751,19 @@ class ShardedFrontierSearch:
                 "input (the reference has the same limitation)",
                 RuntimeWarning, stacklevel=2,
             )
-        if self.multiprocess and not self.packed:
+        if self.multiprocess and self.layout == "unpacked":
             raise NotImplementedError(
-                "multi-process meshes require the packed engine (degenerate "
-                "inputs / O != E are single-process only)")
+                "multi-process meshes require the packed/sig engine "
+                "(degenerate inputs / O != E are single-process only)")
         tab = self._init(self._rep(root_h))
         counters = self._rep(np.array([INF, 0, 0, 0], dtype=np.int32))
-        if self.packed:
+        if self.layout != "unpacked":
             shard_ctr = self._rep(np.zeros((self.ndev, 4), dtype=np.int32))
         else:
             shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
         ub_dev = self._rep(np.array([ub], dtype=np.int32))
-        htab_g = self._rep(np.asarray(st.d_tables4 if self.packed else st.d_tables))
+        htab_g = self._rep(np.asarray(
+            st.d_tables4 if self.layout != "unpacked" else st.d_tables))
         henc_g = self._rep(np.asarray(st.d_enc))
         chunk_now = self.chunk_steps
         nt = self._ntab

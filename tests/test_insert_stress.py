@@ -243,6 +243,66 @@ class TestInsertPackedStress:
         uniq = {tuple(c) for c in coords.tolist()}
         assert len(pairs) == len(uniq)
 
+    def test_sig_full_bucket_chains_high_load(self):
+        # tiny table (16 buckets x 8 ways = 128 slots) loaded to 75% with
+        # the FULL 6x4x4 lattice: forces full buckets, multi-bucket probe
+        # walks, and way-claim conflicts — the rare paths of the bucketed
+        # layout.  Every key must land exactly once, best = model min.
+        st = _mk_static(capacity=1 << 7, batch=16)
+        assert st.sig_ok and st.nbuck == 16
+        C = st.C
+        nb = st.nb
+        rng = random.Random(99)
+        all_coords = [(a, b, c) for a in range(6) for b in range(4)
+                      for c in range(4)]
+        model = {}
+
+        t_sig = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+        t_best = jnp.full((C,), E.INFP, dtype=jnp.int32)
+        t_closed = jnp.full((C,), E.INFP, dtype=jnp.int32)
+        tab = (t_sig, t_best, t_closed)
+        claim = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+
+        L = 64
+        for step in range(14):
+            picks = [rng.choice(all_coords) for _ in range(L)]
+            coords = np.array(picks, dtype=np.int32)
+            f = np.array([rng.randint(1, 500) for _ in range(L)], dtype=np.int32)
+            par = np.array([rng.randint(1, 7) for _ in range(L)], dtype=np.int32)
+            packed = (f << nb) | par
+            valid = np.array([rng.random() < 0.9 for _ in range(L)])
+
+            home, sigb = E._sig_encode(st, jnp.asarray(coords))
+            tab, ovf, claim = E._insert_sig(
+                st, tab, home, sigb, jnp.zeros(L, jnp.int32),
+                jnp.asarray(packed), jnp.asarray(valid),
+                claim=claim, step_tag=jnp.uint32(step),
+            )
+            assert int(ovf) == 0
+            for i in range(L):
+                if not valid[i]:
+                    continue
+                k = tuple(coords[i].tolist())
+                cur = model.get(k)
+                if cur is None or int(packed[i]) < cur:
+                    model[k] = int(packed[i])
+
+            ts = np.asarray(tab[0])
+            tb = np.asarray(tab[1])
+            occ = np.nonzero(ts != 0xFFFFFFFF)[0].astype(np.int32)
+            dec = np.asarray(E._sig_decode(
+                st, jnp.asarray(occ), jnp.asarray(ts[occ])))
+            seen = {}
+            for s, c_arr in zip(occ, dec):
+                c = tuple(int(v) for v in c_arr)
+                assert c not in seen, f"duplicate table entry for {c}"
+                seen[c] = s
+                assert c in model, f"unexpected key {c}"
+                assert tb[s] == model[c], (c, tb[s], model[c])
+            assert set(seen) == set(model)
+        # the walk populated most of the lattice: high load reached
+        assert len(model) >= 80
+
     def test_reopen_semantics_via_select(self):
         # equal-f reinsert of a closed slot must NOT reopen; strictly better
         # f must (the reference's `<` rule, pastar/PAStar.cpp:226-231)

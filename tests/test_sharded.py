@@ -45,6 +45,25 @@ class TestShardedEngine:
         ).run()
         assert res.g == want
 
+    @pytest.mark.parametrize("layout", ["sig", "packed", "unpacked"])
+    def test_layouts_match_serial(self, layout):
+        # the default 'auto' resolves to sig here; pin each layout explicitly
+        p = Problem(("ACDEF", "ACF", "CDE"))
+        h = HPairHeuristic.build(p)
+        want = SerialAStar(p, h).run().g
+        eng = ShardedFrontierSearch(
+            p, h, devices=_cpu_devices(4), batch=16, capacity=1 << 12,
+            layout=layout,
+        )
+        assert eng.layout == layout
+        assert eng.run().g == want
+
+    def test_auto_layout_is_sig(self):
+        p = problem_from_fasta(f"{REF}/PF08184.fasta")
+        h = HPairHeuristic.build(p)
+        eng = ShardedFrontierSearch(p, h, devices=_cpu_devices(2))
+        assert eng.layout == "sig"
+
     @pytest.mark.parametrize("hash_type", ["FZORDER", "FSUM", "PSUM", "PZORDER"])
     def test_all_hash_types(self, hash_type):
         p = Problem(("ACDEF", "ACF", "CDE"))
