@@ -149,16 +149,25 @@ class _Static:
             tabs >= 2**29, 0, tabs
         )  # zero padding: padded cells only reachable from masked-out successors
         self.d_tables = jnp.asarray(stacked.reshape(-1))
-        # T4-contiguous layout: the 4 cells (i,j),(i,j+1),(i+1,j),(i+1,j+1)
-        # stored as one 4-word row, so the per-(node,pair) heuristic gather is
-        # a contiguous row gather (~4x cheaper than 4 scattered elements).
-        if P * self.S * self.S * 16 <= (512 << 20):
-            t4 = np.zeros((P, self.S, self.S, 4), dtype=np.int32)
-            t4[:, :-1, :-1, 0] = stacked[:, :-1, :-1]
-            t4[:, :-1, :-1, 1] = stacked[:, :-1, 1:]
-            t4[:, :-1, :-1, 2] = stacked[:, 1:, :-1]
-            t4[:, :-1, :-1, 3] = stacked[:, 1:, 1:]
-            self.d_tables4 = jnp.asarray(t4.reshape(-1, 4))
+        # T8-contiguous layout: the 4 heuristic cells (i,j),(i,j+1),(i+1,j),
+        # (i+1,j+1) PLUS the PAM match cost of the pair's residues at (i,j)
+        # stored as one 8-word row, so the per-(node,pair) heuristic gather is
+        # a contiguous row gather (~4x cheaper than 4 scattered elements) AND
+        # the edge-cost table lookup (ref: pastar/Node.cpp:221-231) rides the
+        # same row for free — no separate residue/cost gathers in _expand.
+        if P * self.S * self.S * 32 <= (512 << 20):
+            t8 = np.zeros((P, self.S, self.S, 8), dtype=np.int32)
+            t8[:, :-1, :-1, 0] = stacked[:, :-1, :-1]
+            t8[:, :-1, :-1, 1] = stacked[:, :-1, 1:]
+            t8[:, :-1, :-1, 2] = stacked[:, 1:, :-1]
+            t8[:, :-1, :-1, 3] = stacked[:, 1:, 1:]
+            for p, (x, y) in enumerate(self.pairs):
+                ex = enc[x]  # (lmax+1,) 0-padded encoding
+                ey = enc[y]
+                t8[p, : self.lmax + 1, : self.lmax + 1, 4] = COST_TABLE[
+                    np.ix_(ex, ey)
+                ]
+            self.d_tables4 = jnp.asarray(t8.reshape(-1, 8))
         else:
             self.d_tables4 = self.d_tables
 
@@ -352,24 +361,41 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
     B, n = coords.shape
     M, P, S = st.M, st.P, st.S
 
-    # residues at current positions: ch[b, i] = enc[i, pos_i]
     if htab is None:
         htab = st.d_tables
     if henc is None:
         henc = st.d_enc
-    pos = jnp.clip(coords, 0, st.enc_stride - 1)
-    ch = jnp.take(
-        henc,
-        (jnp.arange(n, dtype=jnp.int32) * st.enc_stride)[None, :] + pos,
-        axis=0,
-    )  # (B, N)
-    # one combined gather for both pair endpoints (per-op latency dominates
-    # on the remote backend, so fewer/larger gathers win)
-    chxy = jnp.take_along_axis(
-        ch, jnp.concatenate([st.d_xs, st.d_ys])[None, :].repeat(B, 0), axis=1
-    )  # (B, 2P)
-    chx, chy = chxy[:, :P], chxy[:, P:]
-    mm = jnp.take(st.d_cost_tab, chx * 128 + chy, axis=0)  # (B, P) int32
+
+    # pair endpoint coordinates: STATIC column picks (a take_along_axis with
+    # constant indices lowers to a general gather — ~2.5 ms/step at B=16k —
+    # while a stack of slices fuses to a free shuffle)
+    xs_l = [x for x, _ in st.pairs]
+    ys_l = [y for _, y in st.pairs]
+    cx = jnp.stack([coords[:, i] for i in xs_l], axis=1)  # (B, P)
+    cy = jnp.stack([coords[:, i] for i in ys_l], axis=1)
+    cx = jnp.clip(cx, 0, S - 2)
+    cy = jnp.clip(cy, 0, S - 2)
+    base = (jnp.arange(P, dtype=jnp.int32) * (S * S))[None, :]  # (1, P)
+    idx00 = base + cx * S + cy
+
+    if htab.ndim == 2:  # T8-contiguous (P*S*S, 8) layout: one row gather
+        t8 = jnp.take(htab, idx00, axis=0)  # (B, P, 8)
+        t4 = t8[:, :, :4]
+        mm = t8[:, :, 4]  # PAM cost of the pair's residues at (cx, cy)
+    else:
+        # flat-table fallback: residues at current positions, then the
+        # PAM table lookup (ref: pastar/Node.cpp:221-231)
+        pos = jnp.clip(coords, 0, st.enc_stride - 1)
+        ch = jnp.take(
+            henc,
+            (jnp.arange(n, dtype=jnp.int32) * st.enc_stride)[None, :] + pos,
+            axis=0,
+        )  # (B, N)
+        chx = jnp.stack([ch[:, i] for i in xs_l], axis=1)  # (B, P)
+        chy = jnp.stack([ch[:, i] for i in ys_l], axis=1)
+        mm = jnp.take(st.d_cost_tab, chx * 128 + chy, axis=0)  # (B, P) int32
+        off = jnp.asarray(np.array([0, 1, S, S + 1], dtype=np.int32))
+        t4 = jnp.take(htab, idx00[:, :, None] + off[None, None, :], axis=0)
 
     E, GG = GAP_EXTENSION, GAP_GAP
     wmm = (st.d_w[None, :] * (mm + (GG - 2 * E))).astype(jnp.float32)  # (B, P)
@@ -393,19 +419,8 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
     valid = jnp.all(child <= st.d_final[None, None, :], axis=-1)  # (B, M)
     valid = valid & active[:, None]
 
-    # T4 heuristic gather: 4 cells per (node, pair)
-    cx = jnp.take_along_axis(coords, st.d_xs[None, :].repeat(B, 0), axis=1)  # (B, P)
-    cy = jnp.take_along_axis(coords, st.d_ys[None, :].repeat(B, 0), axis=1)
-    base = (jnp.arange(P, dtype=jnp.int32) * (S * S))[None, :]  # (1, P)
-    cx = jnp.clip(cx, 0, S - 2)
-    cy = jnp.clip(cy, 0, S - 2)
-    idx00 = base + cx * S + cy
-    if htab.ndim == 2:  # T4-contiguous (P*S*S, 4) layout: one row gather
-        t4 = jnp.take(htab, idx00, axis=0)  # (B, P, 4)
-    else:
-        off = jnp.asarray(np.array([0, 1, S, S + 1], dtype=np.int32))
-        t4 = jnp.take(htab, idx00[:, :, None] + off[None, None, :], axis=0)
-    # (B, P, 4) int32 in one gather; order k=2i+j matches Ind
+    # (B, P, 4) heuristic cells (from the T8 row gather above);
+    # order k=2i+j matches Ind
     t4w = t4 * st.d_w[None, :, None]  # (B, P, 4) int32, < 2^24-ish
     hi = (t4w >> 12).astype(jnp.float32).reshape(B, 4 * P)
     lo = (t4w & 0xFFF).astype(jnp.float32).reshape(B, 4 * P)
