@@ -198,17 +198,18 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
     def init_fn(root_h_arr):
         dev = jax.lax.axis_index(AXIS)
         C = st.C
-        t_sig = jnp.full((C,), _EMPTY_WORD, dtype=jnp.uint32)
+        # 2-D (buckets, ways) t_sig — see engine._init_table_sig
+        t_sig = jnp.full((st.nbuck, st.ways), _EMPTY_WORD, dtype=jnp.uint32)
         t_best = jnp.full((C,), INFP, dtype=jnp.int32)
         t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
 
         root = jnp.zeros((1, st.n), dtype=jnp.int32)
         home, sigb = _sig_encode(st, root)
-        slot = home[0].astype(jnp.int32) * st.ways  # way 0 of the home bucket
+        buck = home[0].astype(jnp.int32)
         is_owner = dev == root_owner
-        wslot = jnp.where(is_owner, slot, C)
-        t_sig = t_sig.at[wslot].set(sigb[0], mode="drop")
-        t_best = t_best.at[wslot].set(
+        t_sig = t_sig.at[jnp.where(is_owner, buck, st.nbuck), 0].set(
+            sigb[0], mode="drop")
+        t_best = t_best.at[jnp.where(is_owner, buck * st.ways, C)].set(
             (root_h_arr[0] << st.nb) | ((1 << st.n) - 1), mode="drop")
         return t_sig, t_best, t_closed
 
@@ -296,7 +297,7 @@ def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
         def lookup(coord):
             home, sigb = _sig_encode(st, coord[None, :])
             bucks = ((home[0] + rs) & Bmask).astype(jnp.int32)  # (R,)
-            rows = t_sig.reshape(NB, ways)[bucks]  # (R, 8)
+            rows = t_sig[bucks]  # (R, 8)
             hits = rows == (sigb[0] | rs)[:, None]
             found = jnp.any(hits)
             flat = jnp.argmax(hits.reshape(-1))

@@ -858,7 +858,7 @@ def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
             row = rec_row
         else:
             buck = jnp.where(live, cur.astype(jnp.int32), NB)
-            row = t_sig.reshape(NB, ways)[jnp.clip(buck, 0, NB - 1)]  # (X, 8)
+            row = t_sig[jnp.clip(buck, 0, NB - 1)]  # (X, 8)
         match_w = (row == word[:, None]) & live[:, None]
         is_match = jnp.any(match_w, axis=1)
         mway = jnp.argmax(match_w, axis=1).astype(jnp.int32)
@@ -872,9 +872,10 @@ def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
         tag = (step_tag * np.uint32(st.max_probes) + k.astype(jnp.uint32)) * Lfull + idx_orig
         claim = claim.at[jnp.where(try_claim, eslot, C)].set(tag, mode="drop")
         won = try_claim & (claim[jnp.clip(eslot, 0, C - 1)] == tag)
-        t_sig = t_sig.at[jnp.where(won, eslot, C)].set(word, mode="drop")
+        curb = cur.astype(jnp.int32)
+        t_sig = t_sig.at[jnp.where(won, curb, NB), fway].set(word, mode="drop")
         # losers check the one claimed slot: the winner may be a duplicate
-        w_at = t_sig[jnp.clip(eslot, 0, C - 1)]
+        w_at = t_sig[jnp.clip(curb, 0, NB - 1), fway]
         lost = try_claim & ~won
         is_m2 = lost & (w_at == word)
 
@@ -1178,7 +1179,7 @@ def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
         rhome = jax.lax.bitcast_convert_type(rec[:, 0], jnp.uint32)
         rsigb = jax.lax.bitcast_convert_type(rec[:, 1], jnp.uint32)
         buck = (rhome & np.uint32(NB - 1)).astype(jnp.int32)
-        row = t_sig.reshape(NB, ways)[jnp.clip(buck, 0, NB - 1)]  # (L, 8)
+        row = t_sig[jnp.clip(buck, 0, NB - 1)]  # (L, 8)
         match_w = row == rsigb[:, None]  # r=0 word IS the sig base
         match = jnp.any(match_w, axis=1)
         slot0 = buck * ways + jnp.argmax(match_w, axis=1).astype(jnp.int32)
@@ -1324,7 +1325,9 @@ def _select_sig(st: _Static, tab, goal_g, thr):
     n_selected = jnp.sum(active)
     slot_c = jnp.clip(slots, 0, C - 1)
 
-    coords = _sig_decode(st, slot_c, t_sig[slot_c])  # (B, N)
+    coords = _sig_decode(
+        st, slot_c, t_sig[slot_c // st.ways, slot_c % st.ways]
+    )  # (B, N)
     f_sel = vmin >> nb
     par = vmin & ((1 << nb) - 1)
     reopen_ct = jnp.sum(active & (t_closed[slot_c] < INFP))
@@ -1542,7 +1545,7 @@ def _make_backtrace_sig(st: _Static):
         def lookup(coord):
             home, sigb = _sig_encode(st, coord[None, :])
             bucks = ((home[0] + rs) & Bmask).astype(jnp.int32)  # (R,)
-            rows = t_sig.reshape(NB, ways)[bucks]  # (R, 8)
+            rows = t_sig[bucks]  # (R, 8)
             hits = rows == (sigb[0] | rs)[:, None]
             found = jnp.any(hits)
             flat = jnp.argmax(hits.reshape(-1))
@@ -1802,14 +1805,18 @@ class TpuFrontierSearch:
     def _init_table_sig(self):
         st = self.st
         C = st.C
-        t_sig = jnp.full((C,), _EMPTY_WORD, dtype=jnp.uint32)
+        # t_sig lives PERMANENTLY as (buckets, ways): reshaping a flat (C,)
+        # u32 to (NB, 8) retiles (physically copies) the whole table on every
+        # probe call — ~1.5 ms per 64 MB on v5e, several times per step
+        t_sig = jnp.full((st.nbuck, st.ways), _EMPTY_WORD, dtype=jnp.uint32)
         t_best = jnp.full((C,), INFP, dtype=jnp.int32)
         t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
         root = np.zeros((1, st.n), dtype=np.int32)
         home, sigb = _sig_encode(st, jnp.asarray(root))
-        slot_i = int(np.asarray(home)[0]) * st.ways  # way 0 of the home bucket
+        buck_i = int(np.asarray(home)[0])
+        slot_i = buck_i * st.ways  # way 0 of the home bucket
         h_root = self.heuristic.calculate_h(root[0])
-        t_sig = t_sig.at[slot_i].set(sigb[0])  # r = 0
+        t_sig = t_sig.at[buck_i, 0].set(sigb[0])  # r = 0
         t_best = t_best.at[slot_i].set(
             np.int32((h_root << st.nb) | self.problem.root_parent_mask)
         )
@@ -1886,8 +1893,8 @@ class TpuFrontierSearch:
             h.update(s.encode())
         h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{self.layout}".encode())
         if self.layout == "sig":
-            # bucketed-sig format, v2 = no t_h array
-            h.update(f":w{self.st.ways}v2".encode())
+            # bucketed-sig format, v3 = 2-D (buckets, ways) t_sig
+            h.update(f":w{self.st.ways}v3".encode())
         return h.hexdigest()[:16]
 
     def _save_checkpoint(self, tab, counters) -> None:

@@ -179,7 +179,7 @@ class TestInsertPackedStress:
         rng = random.Random(41)
         model = {}  # key tuple -> (packed_best, h)
 
-        t_sig = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+        t_sig = jnp.full((st.nbuck, st.ways), E._EMPTY_WORD, dtype=jnp.uint32)
         t_best = jnp.full((C,), E.INFP, dtype=jnp.int32)
         t_closed = jnp.full((C,), E.INFP, dtype=jnp.int32)
         tab = (t_sig, t_best, t_closed)
@@ -213,7 +213,7 @@ class TestInsertPackedStress:
                 if cur is None or int(packed[i]) < cur[0]:
                     model[k] = (int(packed[i]), int(h[i]))
 
-            ts = np.asarray(tab[0])
+            ts = np.asarray(tab[0]).reshape(-1)
             tb = np.asarray(tab[1])
             occ = np.nonzero(ts != 0xFFFFFFFF)[0].astype(np.int32)
             dec = np.asarray(E._sig_decode(
@@ -257,7 +257,7 @@ class TestInsertPackedStress:
                       for c in range(4)]
         model = {}
 
-        t_sig = jnp.full((C,), E._EMPTY_WORD, dtype=jnp.uint32)
+        t_sig = jnp.full((st.nbuck, st.ways), E._EMPTY_WORD, dtype=jnp.uint32)
         t_best = jnp.full((C,), E.INFP, dtype=jnp.int32)
         t_closed = jnp.full((C,), E.INFP, dtype=jnp.int32)
         tab = (t_sig, t_best, t_closed)
@@ -287,7 +287,7 @@ class TestInsertPackedStress:
                 if cur is None or int(packed[i]) < cur:
                     model[k] = int(packed[i])
 
-            ts = np.asarray(tab[0])
+            ts = np.asarray(tab[0]).reshape(-1)
             tb = np.asarray(tab[1])
             occ = np.nonzero(ts != 0xFFFFFFFF)[0].astype(np.int32)
             dec = np.asarray(E._sig_decode(
