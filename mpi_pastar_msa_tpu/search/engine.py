@@ -814,8 +814,9 @@ def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
                             use_rec_row=False):
     """One probing CALL, bucketed sig layout (see _sig_encode).
 
-    Record columns: [home bucket, sig base, 8 bucket-row words from the
-    round-0 gather].  One call reads the 8-way bucket row (one contiguous
+    Record columns: [home bucket, sig base, packed (f,par) word, 8
+    bucket-row words from the round-0 gather].  One call reads the 8-way
+    bucket row (one contiguous
     row gather — all 8 probe positions at once; with ``use_rec_row`` the
     FIRST call reuses the round-0 row carried through compaction, saving
     the gather entirely — nothing is written between round 0 and call 1),
@@ -843,11 +844,11 @@ def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
     Lfull = np.uint32(st.B * st.M)
     home = jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32)
     sigb = jax.lax.bitcast_convert_type(rows[:, 1], jnp.uint32)
-    rec_row = jax.lax.bitcast_convert_type(rows[:, 2:2 + ways], jnp.uint32)
+    rec_row = jax.lax.bitcast_convert_type(rows[:, 3:3 + ways], jnp.uint32)
 
     def body(carry):
         k, done, sval, store, claim = carry
-        (t_sig,) = store
+        t_sig, t_best = store
         cur = (jnp.where(sval == C, home.astype(jnp.int32), sval)
                .astype(jnp.uint32) & Bmask)
         r = (cur - home) & Bmask
@@ -888,7 +889,7 @@ def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
         cur_next = jnp.where(now_full, (cur + 1) & Bmask, cur).astype(jnp.int32)
         sval = jnp.where(done, sval, jnp.where(settled, slot_fin, cur_next))
         done = done | settled
-        return k + 1, done, sval, (t_sig,), claim
+        return k + 1, done, sval, (t_sig, t_best), claim
 
     return body
 
@@ -1100,15 +1101,25 @@ def _insert_cascade_sig(st: _Static, store, claim, rec, valid, step_tag,
     once, the first claim call reuses the round-0 bucket rows carried
     through compaction (zero gathers), and a while_loop at the same width
     mops up claim conflicts and full-bucket chains — it runs ZERO iterations
-    when the first call settles everyone, which is the common case."""
+    when the first call settles everyone, which is the common case.
+
+    PLACEMENT IS SPLIT BY WIDTH: round-0 matches scatter-min t_best at full
+    width straight from slot0; tier lanes scatter-min at tier width from
+    the loop's settled slots.  This removes the full-width back-map gather
+    (tier slot/done -> candidate lanes, ~3.5 ms/step at kinase scale) the
+    single full-width placement needed.  ``store`` is (t_sig, t_best); the
+    packed (f,par) word rides rec column 2 through compaction.  Returns
+    (store, claim, overflow)."""
     C = st.C
     L = rec.shape[0]
     R = st.max_probes
 
     match, slot0, rec = lookup0(store, rec)  # augments rec with bucket rows
     match = match & valid
-    done = match
-    slot = jnp.where(match, slot0, C)
+    t_sig, t_best = store
+    packed = rec[:, 2]
+    t_best = t_best.at[jnp.where(match, slot0, C)].min(packed, mode="drop")
+    store = (t_sig, t_best)
 
     def run_loop(body, carry):
         def cond(c):
@@ -1122,38 +1133,43 @@ def _insert_cascade_sig(st: _Static, store, claim, rec, valid, step_tag,
         carry = first(carry)
         return run_loop(make_body(rows, idx, step_tag), carry)
 
-    un = valid & ~done
+    def place_at(store, live, dn, slot, pk):
+        t_sig, t_best = store
+        placed = live & dn
+        t_best = t_best.at[jnp.where(placed, slot, C)].min(pk, mode="drop")
+        overflow = jnp.sum(live & ~dn)
+        return (t_sig, t_best), overflow
+
+    un = valid & ~match
     Ma = max(L // 4, 1024)
     if Ma >= L:
         _, dn, slot, store, claim = run_at(
-            rec, (jnp.int32(0), done | ~valid, slot, store, claim))
-        return store, claim, dn & valid, slot
+            rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
+                  store, claim))
+        store, overflow = place_at(store, un, dn, slot, packed)
+        return store, claim, overflow
 
     nvA = _prefix_sum(un.astype(jnp.int32))
     fitsA = nvA[-1] <= Ma
 
     def tierA(op):
-        store, claim, done, slot = op
+        store, claim = op
         rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
         _, adone, aslot, store, claim = run_at(
             rowsA, (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
                     store, claim))
-        posA = jnp.clip(jnp.where(un, nvA - 1, Ma), 0, Ma - 1)
-        asd = (aslot << 1) | adone.astype(jnp.int32)
-        sdA = asd[posA]
-        slot = jnp.where(un, sdA >> 1, slot)
-        done = jnp.where(un, (sdA & 1) == 1, done)
-        return store, claim, done, slot
+        store, overflow = place_at(store, okA, adone, aslot, rowsA[:, 2])
+        return store, claim, overflow
 
     def wideA(op):
-        store, claim, done, slot = op
+        store, claim = op
         _, dn, slot, store, claim = run_at(
-            rec, (jnp.int32(0), done | ~valid, slot, store, claim))
-        return store, claim, dn & valid, slot
+            rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
+                  store, claim))
+        store, overflow = place_at(store, un, dn, slot, packed)
+        return store, claim, overflow
 
-    store, claim, done, slot = jax.lax.cond(
-        fitsA, tierA, wideA, (store, claim, done, slot))
-    return store, claim, done, slot
+    return jax.lax.cond(fitsA, tierA, wideA, (store, claim))
 
 
 def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
@@ -1172,10 +1188,11 @@ def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
     ways = st.ways
     rec = jnp.stack(
         [jax.lax.bitcast_convert_type(home, jnp.int32),
-         jax.lax.bitcast_convert_type(sigb, jnp.int32)], axis=1)
+         jax.lax.bitcast_convert_type(sigb, jnp.int32),
+         packed], axis=1)
 
     def lookup0(store, rec):
-        (t_sig,) = store
+        t_sig = store[0]
         rhome = jax.lax.bitcast_convert_type(rec[:, 0], jnp.uint32)
         rsigb = jax.lax.bitcast_convert_type(rec[:, 1], jnp.uint32)
         buck = (rhome & np.uint32(NB - 1)).astype(jnp.int32)
@@ -1188,12 +1205,8 @@ def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
         return match, slot0, rec
 
     make_body = partial(_probe_body_sig_factory, st)
-    (t_sig,), claim, done, slot = _insert_cascade_sig(
-        st, (t_sig,), claim, rec, valid, step_tag, lookup0, make_body)
-
-    overflow = jnp.sum(valid & ~done)
-    placed = valid & done
-    t_best = t_best.at[jnp.where(placed, slot, C)].min(packed, mode="drop")
+    (t_sig, t_best), claim, overflow = _insert_cascade_sig(
+        st, (t_sig, t_best), claim, rec, valid, step_tag, lookup0, make_body)
     return (t_sig, t_best, t_closed), overflow, claim
 
 
