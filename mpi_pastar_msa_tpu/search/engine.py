@@ -812,42 +812,49 @@ def _probe_body_packed_factory(st: _Static, rows, idx_orig, step_tag):
 
 def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
                             use_rec_row=False):
-    """One probing CALL, bucketed sig layout (see _sig_encode).
+    """One probing CALL, bucketed sig layout (see _sig_encode) — CLAIMLESS.
 
     Record columns: [home bucket, sig base, packed (f,par) word, 8
     bucket-row words from the round-0 gather].  One call reads the 8-way
-    bucket row (one contiguous
-    row gather — all 8 probe positions at once; with ``use_rec_row`` the
-    FIRST call reuses the round-0 row carried through compaction, saving
-    the gather entirely — nothing is written between round 0 and call 1),
-    settles matches, and lets new keys claim the first empty way.  All
-    contenders for a bucket pick the SAME way (first empty), so at most one
-    way per bucket fills per call; a claim loser checks the single claimed
-    slot (the winner may be its duplicate — one element gather, not a row
-    re-gather) and otherwise RETRIES THE SAME BUCKET next call if an empty
-    way remains — only a full bucket advances the probe to bucket+1.
+    bucket row (one contiguous row gather — all 8 probe positions at once;
+    with ``use_rec_row`` the FIRST call reuses the round-0 row carried
+    through compaction, saving the gather entirely — nothing is written to
+    t_sig between round 0 and call 1), settles matches, and lets new keys
+    WRITE their word straight into the first empty way (one scatter; among
+    racing writers to the same way XLA keeps exactly one — any winner is
+    correct).  A writer does NOT learn the race outcome this call: next
+    call's row gather shows its word if it (or a duplicate) won — it settles
+    as a plain match — or another key's word if it lost — it retries the
+    next empty way, or advances when the bucket reads full.  That makes a
+    probing call exactly TWO random-access ops (row gather + scatter),
+    versus five for a claim-array protocol, at the price of one extra
+    (cheap) iteration per contended bucket; stored entries are never
+    overwritten (writes only target ways observed empty, and fills are
+    permanent), so at most one way per bucket fills per call and the loop
+    still terminates in <= chain-length + contention rounds.
 
     The per-candidate probe position lives in the carry's slot word: for an
     unsettled lane it holds the CURRENT BUCKET (sentinel C = fresh, start at
     home; bucket values < C/8 < C never collide with the sentinel); once
     settled it holds the final slot.  No-deletion fullness monotonicity
     makes the walk exact: a key stored at round r implies buckets
-    home..home+r-1 were full at insert time and stay full, so an insert of
-    an existing key always matches before it can claim.
+    home..home+r-1 were observed full before the write and stay full, so an
+    insert of an existing key always matches before it can claim.
 
-    `store` is (t_sig,); carry position 0 is the global call counter k
-    (claim-tag uniqueness + loop cap)."""
+    `store` is (t_sig, t_best); carry position 0 is the call counter k
+    (loop cap).  ``idx_orig``/``step_tag`` are unused (kept for signature
+    parity with the claim-protocol packed layout)."""
+    del idx_orig, step_tag
     C = st.C
     NB = st.nbuck
     ways = st.ways
     Bmask = np.uint32(NB - 1)
-    Lfull = np.uint32(st.B * st.M)
     home = jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32)
     sigb = jax.lax.bitcast_convert_type(rows[:, 1], jnp.uint32)
     rec_row = jax.lax.bitcast_convert_type(rows[:, 3:3 + ways], jnp.uint32)
 
     def body(carry):
-        k, done, sval, store, claim = carry
+        k, done, sval, store = carry
         t_sig, t_best = store
         cur = (jnp.where(sval == C, home.astype(jnp.int32), sval)
                .astype(jnp.uint32) & Bmask)
@@ -864,32 +871,22 @@ def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
         is_match = jnp.any(match_w, axis=1)
         mway = jnp.argmax(match_w, axis=1).astype(jnp.int32)
         empty_w = row == _EMPTY_WORD
-        ecnt = jnp.sum(empty_w.astype(jnp.int32), axis=1)
-        has_empty = ecnt > 0
+        has_empty = jnp.any(empty_w, axis=1)
         fway = jnp.argmax(empty_w, axis=1).astype(jnp.int32)
-        eslot = cur.astype(jnp.int32) * ways + fway
-        try_claim = live & ~is_match & has_empty
-
-        tag = (step_tag * np.uint32(st.max_probes) + k.astype(jnp.uint32)) * Lfull + idx_orig
-        claim = claim.at[jnp.where(try_claim, eslot, C)].set(tag, mode="drop")
-        won = try_claim & (claim[jnp.clip(eslot, 0, C - 1)] == tag)
+        try_write = live & ~is_match & has_empty
         curb = cur.astype(jnp.int32)
-        t_sig = t_sig.at[jnp.where(won, curb, NB), fway].set(word, mode="drop")
-        # losers check the one claimed slot: the winner may be a duplicate
-        w_at = t_sig[jnp.clip(curb, 0, NB - 1), fway]
-        lost = try_claim & ~won
-        is_m2 = lost & (w_at == word)
+        t_sig = t_sig.at[jnp.where(try_write, curb, NB), fway].set(
+            word, mode="drop")
 
-        settled = is_match | won | is_m2
-        way_fin = jnp.where(is_match, mway, fway)  # won/m2 settle at fway
-        slot_fin = cur.astype(jnp.int32) * ways + way_fin
-        # advance only when the bucket is (now) full: no empty way at all,
-        # or a lost claim consumed the last one
-        now_full = (~has_empty) | (lost & (ecnt == 1))
-        cur_next = jnp.where(now_full, (cur + 1) & Bmask, cur).astype(jnp.int32)
+        settled = is_match
+        slot_fin = curb * ways + mway
+        # advance only on an observed-full bucket; writers re-check the same
+        # bucket next call (their word may or may not have won the race)
+        cur_next = jnp.where(live & ~has_empty, (cur + 1) & Bmask,
+                             cur).astype(jnp.int32)
         sval = jnp.where(done, sval, jnp.where(settled, slot_fin, cur_next))
         done = done | settled
-        return k + 1, done, sval, (t_sig, t_best), claim
+        return k + 1, done, sval, (t_sig, t_best)
 
     return body
 
@@ -1091,17 +1088,17 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     return (t_key, t_best, t_closed), overflow, claim
 
 
-def _insert_cascade_sig(st: _Static, store, claim, rec, valid, step_tag,
+def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
                         lookup0, make_body):
     """Width cascade for the bucketed sig layout — ONE cond total.
 
     With 8-way buckets a candidate's whole fate usually resolves in the
-    round-0 row gather (match) or the first claim call, so there is no
+    round-0 row gather (match) or the first write call, so there is no
     tier-B/C machinery: non-matching lanes are compacted to quarter width
-    once, the first claim call reuses the round-0 bucket rows carried
+    once, the first write call reuses the round-0 bucket rows carried
     through compaction (zero gathers), and a while_loop at the same width
-    mops up claim conflicts and full-bucket chains — it runs ZERO iterations
-    when the first call settles everyone, which is the common case.
+    mops up write races and full-bucket chains — typically 1-2 iterations
+    (each settling the previous call's successful writers as matches).
 
     PLACEMENT IS SPLIT BY WIDTH: round-0 matches scatter-min t_best at full
     width straight from slot0; tier lanes scatter-min at tier width from
@@ -1109,7 +1106,7 @@ def _insert_cascade_sig(st: _Static, store, claim, rec, valid, step_tag,
     (tier slot/done -> candidate lanes, ~3.5 ms/step at kinase scale) the
     single full-width placement needed.  ``store`` is (t_sig, t_best); the
     packed (f,par) word rides rec column 2 through compaction.  Returns
-    (store, claim, overflow)."""
+    (store, overflow)."""
     C = st.C
     L = rec.shape[0]
     R = st.max_probes
@@ -1123,7 +1120,7 @@ def _insert_cascade_sig(st: _Static, store, claim, rec, valid, step_tag,
 
     def run_loop(body, carry):
         def cond(c):
-            k, dn, _, _, _ = c
+            k, dn, _, _ = c
             return (k < R) & jnp.any(~dn)
         return jax.lax.while_loop(cond, body, carry)
 
@@ -1143,33 +1140,28 @@ def _insert_cascade_sig(st: _Static, store, claim, rec, valid, step_tag,
     un = valid & ~match
     Ma = max(L // 4, 1024)
     if Ma >= L:
-        _, dn, slot, store, claim = run_at(
+        _, dn, slot, store = run_at(
             rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
-                  store, claim))
-        store, overflow = place_at(store, un, dn, slot, packed)
-        return store, claim, overflow
+                  store))
+        return place_at(store, un, dn, slot, packed)
 
     nvA = _prefix_sum(un.astype(jnp.int32))
     fitsA = nvA[-1] <= Ma
 
-    def tierA(op):
-        store, claim = op
+    def tierA(store):
         rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
-        _, adone, aslot, store, claim = run_at(
+        _, adone, aslot, store = run_at(
             rowsA, (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
-                    store, claim))
-        store, overflow = place_at(store, okA, adone, aslot, rowsA[:, 2])
-        return store, claim, overflow
+                    store))
+        return place_at(store, okA, adone, aslot, rowsA[:, 2])
 
-    def wideA(op):
-        store, claim = op
-        _, dn, slot, store, claim = run_at(
+    def wideA(store):
+        _, dn, slot, store = run_at(
             rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
-                  store, claim))
-        store, overflow = place_at(store, un, dn, slot, packed)
-        return store, claim, overflow
+                  store))
+        return place_at(store, un, dn, slot, packed)
 
-    return jax.lax.cond(fitsA, tierA, wideA, (store, claim))
+    return jax.lax.cond(fitsA, tierA, wideA, store)
 
 
 def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
@@ -1181,9 +1173,13 @@ def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
     selection recovers g from f via the parent's h, which _expand computes
     for free from its T4 heuristic gather.
 
+    ``claim``/``step_tag`` are accepted for signature parity with the packed
+    layout but unused: the sig probe protocol is claimless (see
+    _probe_body_sig_factory).
+
     See _insert_cascade_sig for the width-cascade structure."""
+    del step_tag
     t_sig, t_best, t_closed = tab
-    C = st.C
     NB = st.nbuck
     ways = st.ways
     rec = jnp.stack(
@@ -1205,8 +1201,8 @@ def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
         return match, slot0, rec
 
     make_body = partial(_probe_body_sig_factory, st)
-    (t_sig, t_best), claim, overflow = _insert_cascade_sig(
-        st, (t_sig, t_best), claim, rec, valid, step_tag, lookup0, make_body)
+    (t_sig, t_best), overflow = _insert_cascade_sig(
+        st, (t_sig, t_best), rec, valid, jnp.uint32(0), lookup0, make_body)
     return (t_sig, t_best, t_closed), overflow, claim
 
 
@@ -1267,11 +1263,13 @@ def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
     twin of _insert_packed — see there for why compaction pays).
 
     ``h_arr`` is accepted for signature parity with _insert_packed but
-    unused: the bucketed sig layout stores no h (see _insert_core_sig)."""
+    unused: the bucketed sig layout stores no h (see _insert_core_sig);
+    ``claim`` likewise (the sig probe protocol is claimless) — it is passed
+    through untouched so the shared drivers can carry a 1-element dummy."""
     del h_arr
     L = home.shape[0]
     if claim is None:
-        claim = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+        claim = jnp.zeros((1,), dtype=jnp.uint32)
     if step_tag is None:
         step_tag = jnp.uint32(0)
 
@@ -1404,6 +1402,65 @@ def _candidates_sig(st: _Static, keys, child):
     return _sig_encode(st, child)
 
 
+def _expand_insert(st: _Static, tab, claim, coords, g, par, active, goal_g,
+                   ub, htab, henc, step_tag, insert_fn, cand_fn, g_is_f):
+    """Expand a (possibly width-compacted) selected batch and insert all
+    successors.  Returns (tab, claim, goal_g, overflow)."""
+    keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
+        st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f)
+    valid = valid & (f_c <= ub)
+    packed = (f_c << st.nb) | mask_c
+    goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
+    tab, ovf, claim = insert_fn(st, tab, *cand_fn(st, keys, child),
+                                h_c, packed, valid,
+                                claim=claim, step_tag=step_tag)
+    return tab, claim, goal_g, ovf
+
+
+def _expand_insert_tiered(st: _Static, tab, claim, coords, g, par, active,
+                          n_sel, goal_g, ub, htab, henc, step_tag,
+                          insert_fn, cand_fn, g_is_f):
+    """Width-adaptive expand+insert: the batch usually under-fills (the
+    grouped-argmin selection yields one node per table group within the
+    f-threshold; the controller targets B/2..B), so when the SELECTED count
+    fits a quarter- or half-width buffer the selected lanes are compacted
+    (scatter-index + row-gather) and the ENTIRE downstream pipeline —
+    successor expansion, heuristic gathers, and every insert op — runs at
+    the reduced width.  Candidate-level ops dominate the step
+    (L = B x (2^N-1) lanes), so this is a near-proportional win on
+    under-filled steps."""
+    B = st.B
+    if B < 4096:  # small problems: pipeline already cheap, skip the conds
+        return _expand_insert(st, tab, claim, coords, g, par, active, goal_g,
+                              ub, htab, henc, step_tag, insert_fn, cand_fn,
+                              g_is_f)
+
+    cols = jnp.concatenate([coords, g[:, None], par[:, None]], axis=1)
+    nv = _prefix_sum(active.astype(jnp.int32))
+
+    def at_width(Bw):
+        def run(op):
+            tab, claim, goal_g = op
+            crows, cvalid, _ = _compact_gather(active, nv, Bw, cols)
+            return _expand_insert(
+                st, tab, claim, crows[:, : st.n], crows[:, st.n],
+                crows[:, st.n + 1], cvalid, goal_g, ub, htab, henc,
+                step_tag, insert_fn, cand_fn, g_is_f)
+        return run
+
+    def full(op):
+        tab, claim, goal_g = op
+        return _expand_insert(st, tab, claim, coords, g, par, active, goal_g,
+                              ub, htab, henc, step_tag, insert_fn, cand_fn,
+                              g_is_f)
+
+    def half_or_full(op):
+        return jax.lax.cond(n_sel <= B // 2, at_width(B // 2), full, op)
+
+    return jax.lax.cond(n_sel <= B // 4, at_width(B // 4), half_or_full,
+                        (tab, claim, goal_g))
+
+
 def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
                       cand_fn=None, g_is_f=False):
     """Single super-step (select -> expand -> insert); shared by the packed
@@ -1416,13 +1473,9 @@ def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
     def step(tab, goal_g, ub, thr, htab, henc):
         tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
             st, tab, goal_g, thr)
-        keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-            st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f)
-        valid = valid & (f_c <= ub)
-        packed = (f_c << st.nb) | mask_c
-        goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
-        tab, overflow, _ = insert_fn(st, tab, *cand_fn(st, keys, child),
-                                     h_c, packed, valid)
+        tab, _, goal_g, overflow = _expand_insert_tiered(
+            st, tab, None, coords, g, par, active, n_sel, goal_g, ub, htab,
+            henc, None, insert_fn, cand_fn, g_is_f)
         expanded = jnp.sum(active)
         thr = _adapt_thr(thr, n_sel, st.B)
         stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
@@ -1437,7 +1490,7 @@ def _make_step_sig(st: _Static):
 
 
 def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
-                          cand_fn=None, g_is_f=False):
+                          cand_fn=None, g_is_f=False, needs_claim=True):
     """Chunked on-device driver, packed/sig layouts (see _make_run_loop)."""
     select_fn = select_fn or _select_packed
     insert_fn = insert_fn or _insert_packed
@@ -1450,7 +1503,10 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
             counters[4], counters[5], counters[6],
         )
 
-        claim0 = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+        # the sig layout's probe protocol is claimless: carry a 1-element
+        # dummy so the loop structure stays uniform across layouts
+        claim0 = (jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
+                  if needs_claim else jnp.zeros((1,), dtype=jnp.uint32))
 
         def cond(carry):
             tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
@@ -1460,15 +1516,10 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
             tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
             tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
                 st, tab, goal_g, thr)
-            keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-                st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f)
-            valid = valid & (f_c <= ub)
-            packed = (f_c << st.nb) | mask_c
-            goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
-            tab, ovf, claim = insert_fn(
-                st, tab, *cand_fn(st, keys, child), h_c, packed, valid,
-                claim=claim, step_tag=local.astype(jnp.uint32),
-            )
+            tab, claim, goal_g, ovf = _expand_insert_tiered(
+                st, tab, claim, coords, g, par, active, n_sel, goal_g, ub,
+                htab, henc, local.astype(jnp.uint32), insert_fn, cand_fn,
+                g_is_f)
             thr = _adapt_thr(thr, n_sel, st.B)
             return (tab, claim, goal_g, fmin, thr, steps + 1,
                     expanded + jnp.sum(active),
@@ -1489,7 +1540,8 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
 
 def _make_run_loop_sig(st: _Static):
     return _make_run_loop_packed(st, _select_sig, _insert_sig,
-                                 _candidates_sig, g_is_f=True)
+                                 _candidates_sig, g_is_f=True,
+                                 needs_claim=False)
 
 
 def _make_backtrace_packed(st: _Static):
