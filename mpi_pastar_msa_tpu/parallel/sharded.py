@@ -782,6 +782,18 @@ class ShardedFrontierSearch:
                 chunk_now = max(8, chunk_now // 2)
             elif _dt < 8 and chunk_now < 4 * self.chunk_steps:
                 chunk_now *= 2
+            if self.multiprocess:
+                # chunk_steps bounds the while_loop's collective count, so
+                # every process MUST run the next chunk with the SAME value;
+                # per-process wall clocks straddling the thresholds diverge
+                # here (observed: gloo deadlock when one rank halves and the
+                # other doubles).  Process 0 decides for everyone — the
+                # analogue of the reference's rank-0-led consensus
+                # (ref: pastar/PAStar.cpp:502-519).
+                from jax.experimental import multihost_utils
+
+                chunk_now = int(multihost_utils.broadcast_one_to_all(
+                    np.int32(chunk_now)))
             goal_v, fmin_v, steps, ovf = (int(v) for v in stats_np)
             if fmin_v >= goal_v or ovf > 0 or steps >= self.max_steps:
                 break

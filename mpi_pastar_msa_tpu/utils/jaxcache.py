@@ -11,6 +11,23 @@ import os
 _DONE = False
 
 
+def _machine_fingerprint() -> str:
+    """Short stable hash of this host's CPU flags (see enable_compilation_cache)."""
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache() -> None:
     global _DONE
     if _DONE:
@@ -22,6 +39,12 @@ def enable_compilation_cache() -> None:
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache"),
     )
+    # Segregate by machine fingerprint: XLA:CPU persists AOT executables
+    # whose cache key does NOT cover the full host feature set, so a cache
+    # written on one machine type gets loaded on another (observed:
+    # "+prefer-no-scatter is not supported on the host machine"), producing
+    # divergent per-process binaries (multi-process gloo deadlock) or SIGILL.
+    cache_dir = os.path.join(cache_dir, _machine_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -58,7 +58,7 @@ def main():
         @jax.jit
         def run(tab, ub, htab, henc):
             goal_g = jnp.asarray(np.int32(1 << 30))
-            claim = jnp.full((st.C,), E._EMPTY_WORD, dtype=jnp.uint32)
+            claim = jnp.zeros((1,), dtype=jnp.uint32)  # sig path ignores it
 
             def body(i, carry):
                 tab, claim, thr, acc = carry
