@@ -1300,10 +1300,17 @@ def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
         return _insert_core_sig(st, tab, claim, home, sigb, packed,
                                 valid, step_tag)
 
-    def half_or_full(op):
-        return jax.lax.cond(cnt <= L // 2, compact_to(L // 2), full_path, op)
+    def half_or_more(op):
+        # 5L/8 tier: mid-search fat steps run ~50-60% valid (UB pruning kills
+        # the rest), narrowly missing L/2 — without this tier they pay
+        # full-width lookup/scatter (insert cost is near-linear in width)
+        def five_eighths_or_full(op):
+            return jax.lax.cond(cnt <= (5 * L) // 8, compact_to((5 * L) // 8),
+                                full_path, op)
+        return jax.lax.cond(cnt <= L // 2, compact_to(L // 2),
+                            five_eighths_or_full, op)
 
-    return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_full,
+    return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_more,
                         (tab, claim))
 
 

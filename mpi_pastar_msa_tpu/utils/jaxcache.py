@@ -12,7 +12,13 @@ _DONE = False
 
 
 def _machine_fingerprint() -> str:
-    """Short stable hash of this host's CPU flags (see enable_compilation_cache)."""
+    """Short stable hash of this host's CPU flags + per-process XLA target
+    environment (see enable_compilation_cache).
+
+    JAX_PLATFORMS/XLA_FLAGS are included because XLA:CPU bakes plugin-derived
+    pseudo-features (e.g. +prefer-no-scatter under the axon TPU plugin) into
+    AOT results without keying the cache on them — a process without the
+    plugin then loads a mismatched executable."""
     import hashlib
     import platform
 
@@ -25,6 +31,8 @@ def _machine_fingerprint() -> str:
                     break
     except OSError:
         pass
+    feats += "|" + os.environ.get("JAX_PLATFORMS", "")
+    feats += "|" + os.environ.get("XLA_FLAGS", "")
     return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 
