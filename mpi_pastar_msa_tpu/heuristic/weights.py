@@ -112,21 +112,43 @@ def _traceback_distance(a: np.ndarray, b: np.ndarray, dd, hh, vv) -> int:
     return int(0.5 + 1000.0 * (N_ - match + M_ - match) / (N_ + M_))
 
 
-def gotoh_distances(seqs: Tuple[str, ...]) -> np.ndarray:
-    """(N, N) float32 symmetric per-mille distance matrix, min-clamped to 1."""
+def gotoh_distances(seqs: Tuple[str, ...],
+                    device: Optional[bool] = None) -> np.ndarray:
+    """(N, N) float32 symmetric per-mille distance matrix, min-clamped to 1.
+
+    ``device=True`` fills the O(L^2) Gotoh matrices on the accelerator via
+    the anti-diagonal wavefront (`gotoh_wavefront.gotoh_matrices_device`,
+    bit-identical int arithmetic, all pairs batched) — the reference caps
+    this phase at ``MAX_SEQ_SIZE=1000`` (ref: pastar/include/WeightedSP.hpp:10);
+    both paths here have no length cap.  The default stays on host: the
+    traceback needs the filled matrices back, and on a remote-tunnel TPU the
+    O(L^2) device->host transfer costs more than the NumPy fill (measured
+    2x slower end-to-end at L=3000) — flip the default if running with
+    locally attached devices.  The per-mille traceback is host-side either
+    way."""
     enc = []
     for s in seqs:
         # dash-prefix workaround (ref: WeightedSP.cpp:445-447)
         enc.append(np.frombuffer(("-" + s).encode("latin-1"), dtype=np.uint8).astype(np.int32))
     n = len(seqs)
+    if device is None:
+        device = False
     D = np.zeros((n, n), dtype=np.float32)
-    for I in range(n - 1):
-        for J in range(I + 1, n):
-            dd, hh, vv = _gotoh_pair_matrices(enc[I], enc[J])
-            dist = _traceback_distance(enc[I], enc[J], dd, hh, vv)
-            if dist <= 0:
-                dist = 1  # rationale-2 needs distances >= 1 (ref: WeightedSP.cpp:225-227)
-            D[I, J] = D[J, I] = f32(dist)
+    ij = [(I, J) for I in range(n - 1) for J in range(I + 1, n)]
+    if device:
+        from .gotoh_wavefront import gotoh_matrices_device
+
+        mats = gotoh_matrices_device(
+            [(enc[I], enc[J]) for I, J in ij],
+            [(len(enc[I]) - 1, len(enc[J]) - 1) for I, J in ij],
+        )
+    else:
+        mats = [_gotoh_pair_matrices(enc[I], enc[J]) for I, J in ij]
+    for (I, J), (dd, hh, vv) in zip(ij, mats):
+        dist = _traceback_distance(enc[I], enc[J], dd, hh, vv)
+        if dist <= 0:
+            dist = 1  # rationale-2 needs distances >= 1 (ref: WeightedSP.cpp:225-227)
+        D[I, J] = D[J, I] = f32(dist)
     return D
 
 

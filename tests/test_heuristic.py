@@ -129,3 +129,42 @@ class TestHPair:
         st = h.stacked_tables()
         for k, ((x, y), t) in enumerate(zip(p.pairs(), h.tables)):
             assert np.array_equal(st[k, : t.shape[0], : t.shape[1]], t)
+
+
+class TestGotohWavefront:
+    def test_device_matrices_match_numpy(self):
+        # the device anti-diagonal Gotoh fill must be bit-identical to the
+        # host fill (both int arithmetic) on random sequences
+        import random
+
+        from mpi_pastar_msa_tpu.heuristic import weights as W
+        from mpi_pastar_msa_tpu.heuristic.gotoh_wavefront import (
+            gotoh_matrices_device)
+
+        random.seed(11)
+        seqs = [
+            "".join(random.choice("ACDEFGHIKLMNPQRSTVWY")
+                    for _ in range(random.randint(4, 23)))
+            for _ in range(4)
+        ]
+        enc = [np.frombuffer(("-" + s).encode("latin-1"),
+                             dtype=np.uint8).astype(np.int32) for s in seqs]
+        ij = [(i, j) for i in range(3) for j in range(i + 1, 4)]
+        dev = gotoh_matrices_device(
+            [(enc[i], enc[j]) for i, j in ij],
+            [(len(enc[i]) - 1, len(enc[j]) - 1) for i, j in ij],
+        )
+        for (i, j), (dd_d, hh_d, vv_d) in zip(ij, dev):
+            dd, hh, vv = W._gotoh_pair_matrices(enc[i], enc[j])
+            np.testing.assert_array_equal(dd_d, dd)
+            np.testing.assert_array_equal(hh_d, hh)
+            np.testing.assert_array_equal(vv_d, vv)
+
+    def test_device_distances_match_host(self):
+        from mpi_pastar_msa_tpu.heuristic.weights import gotoh_distances
+        from mpi_pastar_msa_tpu.io.fasta import read_fasta_file
+
+        seqs = tuple(read_fasta_file("/root/reference/PF08184.fasta"))
+        d_host = gotoh_distances(seqs, device=False)
+        d_dev = gotoh_distances(seqs, device=True)
+        np.testing.assert_array_equal(d_host, d_dev)
