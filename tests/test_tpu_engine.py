@@ -151,3 +151,44 @@ class TestDegenerateWeights:
             res = E.TpuFrontierSearch(p, h, batch=16, capacity=1 << 12).run()
         assert any("optimality is undefined" in str(x.message) for x in w)
         assert res.closed  # produced some alignment path
+
+
+class TestSixSequences:
+    @pytest.mark.slow
+    def test_six_sequence_family_matches_native(self):
+        # N=6 exercises the 63-mask expansion and 3-word packed keys — a
+        # regime none of the bundled inputs covers (kinase N=5, test N=8 is
+        # 4-char toy).  Synthetic family: random base + point mutations /
+        # indels, solved by both the native C engine and the TPU engine.
+        import random
+
+        from mpi_pastar_msa_tpu.search.native import NativeAStar
+
+        random.seed(123)
+        aa = "ACDEFGHIKLMNPQRSTVWY"
+        base = [random.choice(aa) for _ in range(40)]
+
+        def mutate(seq):
+            s = list(seq)
+            for _ in range(6):  # point mutations
+                s[random.randrange(len(s))] = random.choice(aa)
+            for _ in range(2):  # indels
+                if random.random() < 0.5 and len(s) > 30:
+                    del s[random.randrange(len(s))]
+                else:
+                    s.insert(random.randrange(len(s)), random.choice(aa))
+            return "".join(s)
+
+        seqs = tuple(mutate(base) for _ in range(6))
+        p = Problem(seqs)
+        h = HPairHeuristic.build(p)
+
+        nat = NativeAStar(p, h).run()
+        eng = E.TpuFrontierSearch(p, h)
+        res = eng.run()
+        assert res.g == nat.g
+        # the backtraced alignment must be valid: degapping reproduces inputs
+        rows = build_alignment(p, res.closed)
+        assert len({len(r) for r in rows}) == 1
+        for row, s in zip(rows, seqs):
+            assert row.replace("-", "") == s
