@@ -214,7 +214,7 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
         return t_sig, t_best, t_closed
 
     def chunk_fn(t_sig, t_best, t_closed, counters, shard_ctr,
-                 chunk_steps, ub, htab, henc):
+                 chunk_steps, ub, htab, henc, tri8):
         tab = (t_sig, t_best, t_closed)
         goal0, steps0 = counters[0], counters[2]
         me = jax.lax.axis_index(AXIS)
@@ -231,7 +231,8 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
             tab, coords, f_sel, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_sig(st, tab, goal_g, thr))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-                st, coords, f_sel, par, active, None, htab, henc, g_is_f=True
+                st, coords, f_sel, par, active, None, htab, henc, g_is_f=True,
+                tri8=tri8,
             )
             valid = valid & (f_c <= ub[0])
             packed = (f_c << st.nb) | mask_c
@@ -277,7 +278,7 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
     ))
     chunk_jit = jax.jit(jax.shard_map(
         chunk_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None), P(None), P(None), P(None), P(None), P(None)),
+        in_specs=spec_tab + (P(None),) * 7,
         out_specs=spec_tab + (P(None), P(None)),
         check_vma=False,
     ), donate_argnums=(0, 1, 2))
@@ -360,7 +361,7 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
         return t_key, t_best, t_closed
 
     def chunk_fn(t_key, t_best, t_closed, counters, shard_ctr,
-                 chunk_steps, ub, htab, henc):
+                 chunk_steps, ub, htab, henc, tri8):
         tab = (t_key, t_best, t_closed)
         goal0, steps0 = counters[0], counters[2]
         # shard_ctr is a replicated (ndev, 4) table; each shard resumes from
@@ -380,7 +381,7 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
             tab, coords, g, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_packed(st, tab, goal_g, thr))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-                st, coords, g, par, active, None, htab, henc
+                st, coords, g, par, active, None, htab, henc, tri8=tri8
             )
             valid = valid & (f_c <= ub[0])
             packed = (f_c << st.nb) | mask_c
@@ -425,7 +426,7 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
     ))
     chunk_jit = jax.jit(jax.shard_map(
         chunk_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None), P(None), P(None), P(None), P(None), P(None)),
+        in_specs=spec_tab + (P(None),) * 7,
         out_specs=spec_tab + (P(None), P(None)),
         check_vma=False,
     ), donate_argnums=(0, 1, 2))
@@ -513,7 +514,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         return t_key, t_g, t_f, t_par, t_state
 
     def chunk_fn(t_key, t_g, t_f, t_par, t_state, counters, shard_ctr,
-                 chunk_steps, ub, htab, henc):
+                 chunk_steps, ub, htab, henc, tri8):
         tab = (t_key, t_g, t_f, t_par, t_state)
         goal0, steps0 = counters[0], counters[2]
         exp0, reop0 = shard_ctr[0], shard_ctr[1]
@@ -528,7 +529,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
             tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
             tab, coords, g, par, f_par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, child, _ = _expand(
-                st, coords, g, par, active, f_par, htab, henc
+                st, coords, g, par, active, f_par, htab, henc, tri8=tri8
             )
             valid = valid & (f_c <= ub[0])  # admissible UB pruning
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
@@ -570,7 +571,8 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
     ))
     chunk_jit = jax.jit(jax.shard_map(
         chunk_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None), P(AXIS), P(None), P(None), P(None), P(None)),
+        in_specs=spec_tab + (P(None), P(AXIS), P(None), P(None), P(None),
+                             P(None), P(None)),
         out_specs=spec_tab + (P(None), P(AXIS)),
         check_vma=False,
     ), donate_argnums=(0, 1, 2, 3, 4))
@@ -668,7 +670,6 @@ class ShardedFrontierSearch:
             capacity = 1 << (per_dev - 1).bit_length()
         batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
-        self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
         self.chunk_steps = chunk_steps
         self.hash_type = hash_type
@@ -681,11 +682,30 @@ class ShardedFrontierSearch:
         wi = self.heuristic.weight_i
         self.degenerate = bool((wi[~np.eye(n, dtype=bool)] <= 0).any())
         if _O == _E and not self.degenerate:
-            beam = 1024 if self.st.C * self.ndev >= (1 << 22) else 32
+            beam = 1024 if capacity * self.ndev >= (1 << 22) else 32
             self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
         else:
             self.ub = int(INF)
         self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
+
+        # triple-wise heuristic upgrade (heuristic/triples.py), replicated
+        # across the mesh like the pair tables; deterministic, so every
+        # process builds identical cubes
+        if (not self.degenerate
+                and getattr(self.heuristic, "triangles", None) is None):
+            from ..heuristic.triples import HTriples
+
+            # pin the cube build to a LOCAL mesh device: the mesh may be CPU
+            # while the default backend is a (remote) TPU, and cross-platform
+            # arrays wedge the multi-process path
+            me_idx = self.devices[0].client.process_index()
+            local_dev = next(
+                (d for d in self.devices if d.process_index == me_idx), None)
+            ht = HTriples.build(self.heuristic, device=local_dev)
+            if ht is not None:
+                self.heuristic = ht
+
+        self.st = _Static(problem, self.heuristic, batch, capacity)
         if self.layout_pref != "auto":
             self.layout = self.layout_pref
             if self.layout == "sig" and not (self.packed and self.st.sig_ok):
@@ -766,6 +786,8 @@ class ShardedFrontierSearch:
         htab_g = self._rep(np.asarray(
             st.d_tables4 if self.layout != "unpacked" else st.d_tables))
         henc_g = self._rep(np.asarray(st.d_enc))
+        tri8_g = (st.d_tri8 if not self.multiprocess
+                  else self._rep(np.asarray(st.d_tri8)))
         chunk_now = self.chunk_steps
         nt = self._ntab
         import time as _time
@@ -773,7 +795,7 @@ class ShardedFrontierSearch:
             _t0 = _time.perf_counter()
             out = self._chunk(*tab, counters, shard_ctr,
                               self._rep(np.array([chunk_now], dtype=np.int32)),
-                              ub_dev, htab_g, henc_g)
+                              ub_dev, htab_g, henc_g, tri8_g)
             tab, counters, shard_ctr = out[:nt], out[nt], out[nt + 1]
             stats_np = self._read(counters)
             _dt = _time.perf_counter() - _t0

@@ -171,6 +171,52 @@ class _Static:
         else:
             self.d_tables4 = self.d_tables
 
+        # --- triple heuristic (heuristic/triples.py): pairs covered by a
+        # triangle leave the pairwise indicator (d_w_h zeroes them) and are
+        # served jointly by ONE corner-row gather per (node, triangle) from
+        # the triangle's suffix cube, laid out like d_tables4: the 8 child
+        # cells H[cx+bx, cy+by, cz+bz] of a node's cube as one contiguous row.
+        tri = getattr(heuristic, "triangles", None)
+        self.T3 = len(tri) if tri else 0
+        if self.T3:
+            S = self.S
+            self.tri_x = [t[0] for t in tri]
+            self.tri_y = [t[1] for t in tri]
+            self.tri_z = [t[2] for t in tri]
+            corner = np.zeros((self.T3, self.M), dtype=np.int32)
+            for ti, (x, y, z) in enumerate(tri):
+                corner[ti] = 4 * bits[:, x] + 2 * bits[:, y] + bits[:, z]
+            self.tri_corner = corner
+            base3 = heuristic.tri_tabs  # (T, S, S, S) int32, INF outside box
+            if tuple(base3.shape) != (self.T3, S, S, S):
+                raise ValueError("triangle cube stride mismatch with engine")
+            t0 = jnp.where(base3 >= 2**29, 0, base3)
+            tp = jnp.pad(t0, ((0, 0), (0, 1), (0, 1), (0, 1)))
+            rows3 = jnp.stack(
+                [tp[:, bx : bx + S, by : by + S, bz : bz + S]
+                 for bx in (0, 1) for by in (0, 1) for bz in (0, 1)],
+                axis=-1,
+            )  # corner index c = 4*bx + 2*by + bz matches tri_corner
+            self.d_tri8 = rows3.reshape(-1, 8)
+            self.d_tri_off = jnp.asarray(
+                np.arange(self.T3, dtype=np.int32) * (S * S * S))
+            self.d_w_h = jnp.asarray(heuristic.pair_weights_h_i())
+            # matmul fallback for wide masks needs the 12-bit hi/lo split to
+            # stay exact: table values must fit 24 bits
+            if self.T3 * 8 * self.M > 4096:
+                mx = int(jnp.max(t0))
+                if mx >= (1 << 24):
+                    raise ValueError("triangle cube values exceed 24 bits")
+                ind3 = np.zeros((self.M, self.T3, 8), dtype=np.float32)
+                for ti in range(self.T3):
+                    ind3[np.arange(self.M), ti, corner[ti]] = 1.0
+                self.d_tri_ind = jnp.asarray(
+                    ind3.reshape(self.M, 8 * self.T3).T.copy())  # (8T, M)
+        else:
+            self.d_w_h = self.d_w
+            # dummy keeps jit signatures uniform when triples are off
+            self.d_tri8 = jnp.zeros((1, 8), dtype=jnp.int32)
+
         self.d_final = jnp.asarray(problem.final_coord.astype(np.int32))
         self.final_np = problem.final_coord.astype(np.int32)
         self.max_probes = 128
@@ -349,7 +395,7 @@ def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
-            htab=None, henc=None, g_is_f=False):
+            htab=None, henc=None, g_is_f=False, tri8=None):
     """Expand a batch: (B, N) coords -> all-mask successor candidates.
 
     With ``g_is_f`` the g argument is the parent's f; the parent's h is
@@ -420,8 +466,10 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
     valid = valid & active[:, None]
 
     # (B, P, 4) heuristic cells (from the T8 row gather above);
-    # order k=2i+j matches Ind
-    t4w = t4 * st.d_w[None, :, None]  # (B, P, 4) int32, < 2^24-ish
+    # order k=2i+j matches Ind.  d_w_h zeroes triangle-covered pairs (their
+    # h contribution comes from the joint cube rows below); edge costs above
+    # keep full weights.
+    t4w = t4 * st.d_w_h[None, :, None]  # (B, P, 4) int32, < 2^24-ish
     hi = (t4w >> 12).astype(jnp.float32).reshape(B, 4 * P)
     lo = (t4w & 0xFFF).astype(jnp.float32).reshape(B, 4 * P)
     h_hi = jax.lax.dot_general(hi, st.d_ind, (((1,), (0,)), ((), ())),
@@ -432,9 +480,44 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
                                precision=jax.lax.Precision.HIGHEST)
     h = (h_hi.astype(jnp.int32) << 12) + h_lo.astype(jnp.int32)  # (B, M)
 
+    rows3 = None
+    if st.T3:
+        # joint triangle terms: one contiguous 8-word row gather per
+        # (node, triangle) — the cube's corner-row layout mirrors d_tables4
+        c3x = jnp.clip(jnp.stack([coords[:, i] for i in st.tri_x], axis=1), 0, S - 2)
+        c3y = jnp.clip(jnp.stack([coords[:, i] for i in st.tri_y], axis=1), 0, S - 2)
+        c3z = jnp.clip(jnp.stack([coords[:, i] for i in st.tri_z], axis=1), 0, S - 2)
+        idx3 = st.d_tri_off[None, :] + (c3x * S + c3y) * S + c3z  # (B, T)
+        # the cube is threaded as an explicit jit argument (like htab): a
+        # closure constant this large wedges multi-process compiles
+        t8src = tri8 if tri8 is not None else st.d_tri8
+        rows3 = jnp.take(t8src, idx3, axis=0)  # (B, T, 8) int32
+        if st.T3 * 8 * st.M <= 4096:
+            # static-index corner picks fuse to free shuffles — exact int32
+            for t in range(st.T3):
+                r = rows3[:, t, :]
+                h = h + jnp.stack(
+                    [r[:, int(ci)] for ci in st.tri_corner[t]], axis=1)
+        else:
+            flat3 = rows3.reshape(B, 8 * st.T3)
+            hi3 = (flat3 >> 12).astype(jnp.float32)
+            lo3 = (flat3 & 0xFFF).astype(jnp.float32)
+            th_hi = jax.lax.dot_general(
+                hi3, st.d_tri_ind, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            th_lo = jax.lax.dot_general(
+                lo3, st.d_tri_ind, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            h = h + (th_hi.astype(jnp.int32) << 12) + th_lo.astype(jnp.int32)
+
     if g_is_f:
-        # h(parent) = sum_p w_p * table_p[cx, cy] — exactly t4w's k=0 cell
+        # h(parent) = sum_p w_p * table_p[cx, cy] — exactly t4w's k=0 cell —
+        # plus each triangle cube's own-coordinate corner (c = 0)
         h_par = jnp.sum(t4w[:, :, 0], axis=1)  # (B,) int32, exact
+        if rows3 is not None:
+            h_par = h_par + jnp.sum(rows3[:, :, 0], axis=1)
         g = g - h_par
 
     g_child = g[:, None] + cost
@@ -1410,11 +1493,13 @@ def _candidates_sig(st: _Static, keys, child):
 
 
 def _expand_insert(st: _Static, tab, claim, coords, g, par, active, goal_g,
-                   ub, htab, henc, step_tag, insert_fn, cand_fn, g_is_f):
+                   ub, htab, henc, step_tag, insert_fn, cand_fn, g_is_f,
+                   tri8=None):
     """Expand a (possibly width-compacted) selected batch and insert all
     successors.  Returns (tab, claim, goal_g, overflow)."""
     keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-        st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f)
+        st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f,
+        tri8=tri8)
     valid = valid & (f_c <= ub)
     packed = (f_c << st.nb) | mask_c
     goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
@@ -1426,7 +1511,7 @@ def _expand_insert(st: _Static, tab, claim, coords, g, par, active, goal_g,
 
 def _expand_insert_tiered(st: _Static, tab, claim, coords, g, par, active,
                           n_sel, goal_g, ub, htab, henc, step_tag,
-                          insert_fn, cand_fn, g_is_f):
+                          insert_fn, cand_fn, g_is_f, tri8=None):
     """Width-adaptive expand+insert: the batch usually under-fills (the
     grouped-argmin selection yields one node per table group within the
     f-threshold; the controller targets B/2..B), so when the SELECTED count
@@ -1440,7 +1525,7 @@ def _expand_insert_tiered(st: _Static, tab, claim, coords, g, par, active,
     if B < 4096:  # small problems: pipeline already cheap, skip the conds
         return _expand_insert(st, tab, claim, coords, g, par, active, goal_g,
                               ub, htab, henc, step_tag, insert_fn, cand_fn,
-                              g_is_f)
+                              g_is_f, tri8)
 
     cols = jnp.concatenate([coords, g[:, None], par[:, None]], axis=1)
     nv = _prefix_sum(active.astype(jnp.int32))
@@ -1452,14 +1537,14 @@ def _expand_insert_tiered(st: _Static, tab, claim, coords, g, par, active,
             return _expand_insert(
                 st, tab, claim, crows[:, : st.n], crows[:, st.n],
                 crows[:, st.n + 1], cvalid, goal_g, ub, htab, henc,
-                step_tag, insert_fn, cand_fn, g_is_f)
+                step_tag, insert_fn, cand_fn, g_is_f, tri8)
         return run
 
     def full(op):
         tab, claim, goal_g = op
         return _expand_insert(st, tab, claim, coords, g, par, active, goal_g,
                               ub, htab, henc, step_tag, insert_fn, cand_fn,
-                              g_is_f)
+                              g_is_f, tri8)
 
     def half_or_full(op):
         return jax.lax.cond(n_sel <= B // 2, at_width(B // 2), full, op)
@@ -1477,12 +1562,12 @@ def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
     cand_fn = cand_fn or _candidates_packed
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(tab, goal_g, ub, thr, htab, henc):
+    def step(tab, goal_g, ub, thr, htab, henc, tri8):
         tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
             st, tab, goal_g, thr)
         tab, _, goal_g, overflow = _expand_insert_tiered(
             st, tab, None, coords, g, par, active, n_sel, goal_g, ub, htab,
-            henc, None, insert_fn, cand_fn, g_is_f)
+            henc, None, insert_fn, cand_fn, g_is_f, tri8)
         expanded = jnp.sum(active)
         thr = _adapt_thr(thr, n_sel, st.B)
         stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
@@ -1504,7 +1589,7 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
     cand_fn = cand_fn or _candidates_packed
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(tab, counters, chunk_steps, ub, htab, henc):
+    def run_chunk(tab, counters, chunk_steps, ub, htab, henc, tri8):
         goal_g0, steps0, expanded0, reopen0, n_open0, overflow0 = (
             counters[0], counters[2], counters[3],
             counters[4], counters[5], counters[6],
@@ -1526,7 +1611,7 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
             tab, claim, goal_g, ovf = _expand_insert_tiered(
                 st, tab, claim, coords, g, par, active, n_sel, goal_g, ub,
                 htab, henc, local.astype(jnp.uint32), insert_fn, cand_fn,
-                g_is_f)
+                g_is_f, tri8)
             thr = _adapt_thr(thr, n_sel, st.B)
             return (tab, claim, goal_g, fmin, thr, steps + 1,
                     expanded + jnp.sum(active),
@@ -1646,10 +1731,10 @@ def _make_backtrace_sig(st: _Static):
 
 def _make_step(st: _Static):
     @partial(jax.jit, donate_argnums=(0,))
-    def step(tab, goal_g, ub, thr, htab, henc):
+    def step(tab, goal_g, ub, thr, htab, henc, tri8):
         tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
         keys, g_c, f_c, mask_c, valid, is_goal, _, _ = _expand(st, coords, g, par, active, f_par,
-                                                               htab, henc)
+                                                               htab, henc, tri8=tri8)
         valid = valid & (f_c <= ub)  # admissible UB pruning (see run_chunk)
         goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
         tab, reopen_ct, overflow, _ = _insert(st, tab, keys, g_c, f_c, mask_c, valid)
@@ -1676,7 +1761,7 @@ def _make_run_loop(st: _Static):
     """
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(tab, counters, chunk_steps, ub, htab, henc):
+    def run_chunk(tab, counters, chunk_steps, ub, htab, henc, tri8):
         goal_g0, _, steps0, expanded0, reopen0, n_open0, overflow0 = (
             counters[0], counters[1], counters[2], counters[3],
             counters[4], counters[5], counters[6],
@@ -1692,7 +1777,7 @@ def _make_run_loop(st: _Static):
             tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
             tab, coords, g, par, f_par, active, fmin, n_open, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, _, _ = _expand(st, coords, g, par, active, f_par,
-                                                                   htab, henc)
+                                                                   htab, henc, tri8=tri8)
             # upper-bound pruning: with admissible h, no optimal-path node has
             # f > UB (a complete-path cost), so dropping them keeps optimality
             # while capping the frontier flood at best-first levels
@@ -1775,7 +1860,8 @@ class TpuFrontierSearch:
                  capacity: Optional[int] = None, max_steps: int = 1_000_000,
                  chunk_steps: int = 64, snapshot_every: int = 0,
                  driver: str = "chunked", checkpoint_path: Optional[str] = None,
-                 checkpoint_every: int = 8, layout: str = "auto"):
+                 checkpoint_every: int = 8, layout: str = "auto",
+                 triples: str = "auto"):
         self.problem = problem
         self.layout_pref = layout
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
@@ -1800,7 +1886,6 @@ class TpuFrontierSearch:
             batch = max(64, min(cap_b, (1 << 19) // M))
         batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
-        self.st = _Static(problem, self.heuristic, batch, capacity)
         self.max_steps = max_steps
         self.chunk_steps = chunk_steps
         self.snapshot_every = snapshot_every
@@ -1819,13 +1904,33 @@ class TpuFrontierSearch:
         if _O == _E and not self.degenerate:
             # wider beams tighten the bound; on big searches every unit of UB
             # slack admits a shell of extra open nodes, so spend more there
-            beam = 1024 if self.st.C >= (1 << 22) else 32
+            beam = 1024 if capacity >= (1 << 22) else 32
             self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
         else:
             self.ub = int(INF)
         # packed layout needs every in-flight f (< 2*UB + max edge) to fit
         # above the n parent-mask bits of an int32
         self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
+
+        # triple-wise heuristic upgrade (heuristic/triples.py): joint 3-seq
+        # suffix cubes dominate the pairwise bound, shrinking the expanded
+        # f <= f* shell — the search's work term.  "auto" enables it whenever
+        # valid (N >= 3, GapOpen == GapExtension, positive weights, cube fits)
+        self.triples = triples
+        if (triples in ("auto", "on") and not self.degenerate
+                and getattr(self.heuristic, "triangles", None) is None):
+            from ..heuristic.triples import HTriples
+
+            ht = HTriples.build(self.heuristic)
+            if ht is not None:
+                self.heuristic = ht
+            elif triples == "on":
+                raise ValueError(
+                    "triples='on' but the triple heuristic is not applicable "
+                    "(needs N >= 3, GapOpen == GapExtension, positive pair "
+                    "weights, and an in-budget cube size)")
+
+        self.st = _Static(problem, self.heuristic, batch, capacity)
         self._make_fns()
 
     @property
@@ -1937,7 +2042,8 @@ class TpuFrontierSearch:
         goal_found = int(INF)
         while steps < self.max_steps:
             tab, goal_g, thr, stats = self._step(tab, goal_g, ub_dev, thr,
-                                                 self._htab_arg(), self.st.d_enc)
+                                                 self._htab_arg(), self.st.d_enc,
+                                                 self.st.d_tri8)
             sv = np.asarray(stats)
             steps += 1
             goal_found = int(sv[0])
@@ -1964,6 +2070,8 @@ class TpuFrontierSearch:
         for s in self.problem.seqs:
             h.update(s.encode())
         h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{self.layout}".encode())
+        # stored f values depend on the heuristic definition
+        h.update(f":tri{getattr(self.heuristic, 'triangles', None)}".encode())
         if self.layout == "sig":
             # bucketed-sig format, v3 = 2-D (buckets, ways) t_sig
             h.update(f":w{self.st.ways}v3".encode())
@@ -2056,7 +2164,7 @@ class TpuFrontierSearch:
                 _t0 = _time.perf_counter()
                 tab, counters = self._run_loop(
                     tab, counters, jnp.asarray(np.int32(chunk_now)), ub_dev,
-                    self._htab_arg(), self.st.d_enc,
+                    self._htab_arg(), self.st.d_enc, self.st.d_tri8,
                 )
                 stats_np = np.asarray(counters)  # 1 small transfer per chunk
                 _dt = _time.perf_counter() - _t0
@@ -2073,6 +2181,8 @@ class TpuFrontierSearch:
                 # _Static — rebuild them (host-side data is retained), re-jit
                 # the wrappers (compilation cache makes this cheap), and
                 # resume from the host-side snapshot
+                if hasattr(self.heuristic, "rebuild"):
+                    self.heuristic.rebuild()  # triangle cubes live on device
                 self.st = _Static(self.problem, self.heuristic, self.st.B,
                                   self.st.C)
                 self._make_fns()

@@ -42,7 +42,9 @@ class TestExpandParity:
         for b, (coord, g0, par) in enumerate(zip(coords, gs, parentis)):
             ser = {}
             for child, cg, mask in sa._successors(coord, g0, par):
-                ser[mask] = (cg, cg + sa._h(child))
+                # the engine may auto-upgrade to the triple heuristic; compare
+                # against ITS resolved h (g is heuristic-independent)
+                ser[mask] = (cg, cg + eng.heuristic.calculate_h(child))
             for m in range(st.M):
                 mask = m + 1
                 if mask in ser:
