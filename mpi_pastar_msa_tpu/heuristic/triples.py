@@ -76,6 +76,57 @@ def pick_triangles(weight_i: np.ndarray, n: int,
     return out
 
 
+def pick_cover(weight_i: np.ndarray, n: int,
+               max_triangles: Optional[int] = None
+               ) -> List[Tuple[Tuple[int, int, int], Tuple[int, int, int]]]:
+    """Weighted triangle cover: every pair's FULL weight lives in exactly one
+    cube (or stays pairwise), so the summed bound remains admissible.
+
+    Phase 1: greedy max-weight edge-disjoint triangle packing (full weights).
+    Phase 2: leftover pairs are coupled two-at-a-time by "cherry" triangles —
+    two leftover edges sharing a vertex form triangle (a, b, c) whose third
+    edge gets weight 0.  A zero-weight pair contributes nothing to the cube's
+    objective but the cube still enforces joint sequence consistency on the
+    two live pairs, so the cube value >= the two pairwise table values.
+
+    Returns [(triangle, (w_xy, w_xz, w_yz)), ...] with x < y < z per triangle.
+    """
+    tris = pick_triangles(weight_i, n, max_triangles=max_triangles)
+    out = []
+    used = set()
+    for (x, y, z) in tris:
+        out.append(((x, y, z), (int(weight_i[x, y]), int(weight_i[x, z]),
+                                int(weight_i[y, z]))))
+        used |= {(x, y), (x, z), (y, z)}
+    if max_triangles is not None and len(out) >= max_triangles:
+        return out[:max_triangles]
+    # leftover pairs, greedily matched into vertex-sharing cherries
+    left = [(x, y) for x in range(n) for y in range(x + 1, n)
+            if (x, y) not in used]
+    cherries = []
+    for i, e1 in enumerate(left):
+        for j in range(i + 1, len(left)):
+            e2 = left[j]
+            shared = set(e1) & set(e2)
+            if len(shared) == 1:
+                w = (int(weight_i[e1[0], e1[1]]) + int(weight_i[e2[0], e2[1]]))
+                cherries.append((w, e1, e2))
+    cherries.sort(key=lambda t: (-t[0], t[1], t[2]))
+    taken = set()
+    for _, e1, e2 in cherries:
+        if max_triangles is not None and len(out) >= max_triangles:
+            break
+        if e1 in taken or e2 in taken:
+            continue
+        taken |= {e1, e2}
+        x, y, z = sorted(set(e1) | set(e2))
+        live = {e1, e2}
+        ws = tuple(int(weight_i[a, b]) if (a, b) in live else 0
+                   for (a, b) in ((x, y), (x, z), (y, z)))
+        out.append(((x, y, z), ws))
+    return out
+
+
 def triple_suffix_table_host(sx: str, sy: str, sz: str,
                              wxy: int, wxz: int, wyz: int) -> np.ndarray:
     """Reference-style host oracle: (Lx+1, Ly+1, Lz+1) int64 suffix DP.
@@ -113,76 +164,80 @@ def triple_suffix_table_host(sx: str, sy: str, sz: str,
     return H
 
 
-def _fill_one_device(ex: np.ndarray, ey: np.ndarray, ez: np.ndarray,
-                     lens: Tuple[int, int, int], ws: Tuple[int, int, int],
-                     S: int):
-    """Anti-diagonal wavefront fill of one triangle's suffix cube on device.
+def _fill_chunk_device(H, p1, p2, p3, d0, cxy, cxz, cyz, lens, ws,
+                       S: int, CH: int):
+    """One CHUNK (CH anti-diagonal planes, d = d0, d0-1, ...) of the
+    wavefront fill of ALL T triangle suffix cubes at once.
 
-    Returns a (S, S, S) int32 jax array; cells outside the (Lx+1, Ly+1, Lz+1)
-    box hold INF3.  Cost matrices are precomputed host-side (tiny) so each
-    wavefront step is 3 plane-sized gathers + elementwise mins.
+    H: (T*S^3,) int32 flat cube stack (donated; planes scattered in as they
+    are computed).  p1/p2/p3: (T, S, S) planes d0+1, d0+2, d0+3.
+    cxy/cxz/cyz: (T, S*S) int32 per-pair residue-cost matrices;
+    lens: (T, 3) int32 lengths; ws: (T, 3) int32 cube pair weights.
+
+    Batching all T cubes into one scan gives a single compilation
+    (persistently cached) regardless of T; chunking keeps each device
+    dispatch well under remote-tunnel watchdogs for long sequences.  d0 is
+    traced, so ONE executable serves every chunk.
     """
     import jax
     import jax.numpy as jnp
 
-    Lx, Ly, Lz = lens
-    wxy, wxz, wyz = (int(w) for w in ws)
     E, GG = GAP_EXTENSION, GAP_GAP
+    T = cxy.shape[0]
+    jj = jnp.arange(S, dtype=jnp.int32)[None, :, None]  # (1, S, 1)
+    kk = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # (1, 1, S)
+    Lx = lens[:, 0][:, None, None]
+    Ly = lens[:, 1][:, None, None]
+    Lz = lens[:, 2][:, None, None]
+    wxy = ws[:, 0][:, None, None]
+    wxz = ws[:, 1][:, None, None]
+    wyz = ws[:, 2][:, None, None]
 
-    # per-pair (L+1, L+1) cost matrices at table stride S (padded rows cost 0;
-    # they are only read through masked-out moves)
-    def _cm(a, b):
-        c = np.zeros((S, S), dtype=np.int32)
-        c[: len(a), : len(b)] = COST_TABLE[np.ix_(a, b)]
-        return jnp.asarray(c.reshape(-1))
-
-    cxy_t, cxz_t, cyz_t = _cm(ex, ey), _cm(ex, ez), _cm(ey, ez)
-
-    jj = jnp.arange(S, dtype=jnp.int32)[:, None]
-    kk = jnp.arange(S, dtype=jnp.int32)[None, :]
-    Dmax = Lx + Ly + Lz
+    tt = jnp.arange(T, dtype=jnp.int32)[:, None, None]
 
     def step(carry, d):
-        p1, p2, p3 = carry  # planes d+1, d+2, d+3
-        ii = d - jj - kk  # (S, S)
+        H, p1, p2, p3 = carry  # (T, S, S) planes d+1, d+2, d+3
+        ii = d - jj - kk  # (1, S, S)
         in_range = (ii >= 0) & (ii <= Lx) & (jj <= Ly) & (kk <= Lz)
         ic = jnp.clip(ii, 0, S - 1)
-        cxy = jnp.take(cxy_t, ic * S + jj, axis=0)
-        cxz = jnp.take(cxz_t, ic * S + kk, axis=0)
-        cyz = jnp.take(cyz_t, jj * S + kk, axis=0)
+        idx_xy = jnp.broadcast_to((ic * S + jj).reshape(1, -1), (T, S * S))
+        idx_xz = jnp.broadcast_to((ic * S + kk).reshape(1, -1), (T, S * S))
+        idx_yz = jnp.broadcast_to(
+            jnp.broadcast_to(jj * S + kk, (1, S, S)).reshape(1, -1), (T, S * S))
+        gxy = jnp.take_along_axis(cxy, idx_xy, axis=1).reshape(T, S, S)
+        gxz = jnp.take_along_axis(cxz, idx_xz, axis=1).reshape(T, S, S)
+        gyz = jnp.take_along_axis(cyz, idx_yz, axis=1).reshape(T, S, S)
 
         planes = (p1, p2, p3)
-        padded = [jnp.pad(p, ((0, 1), (0, 1)), constant_values=INF3) for p in planes]
-        best = jnp.full((S, S), INF3, dtype=jnp.int32)
+        padded = [jnp.pad(p, ((0, 0), (0, 1), (0, 1)), constant_values=INF3)
+                  for p in planes]
+        best = jnp.full((T, S, S), INF3, dtype=jnp.int32)
         for m in range(1, 8):
             bx, by, bz = m & 1, (m >> 1) & 1, (m >> 2) & 1
-            child = jax.lax.slice(padded[bx + by + bz - 1], (by, bz), (by + S, bz + S))
+            child = jax.lax.slice(padded[bx + by + bz - 1], (0, by, bz),
+                                  (T, by + S, bz + S))
             ok = (ii + bx <= Lx) & (jj + by <= Ly) & (kk + bz <= Lz) & (child < INF3)
-            mc = (wxy * (cxy if (bx and by) else (GG if not (bx or by) else E))
-                  + wxz * (cxz if (bx and bz) else (GG if not (bx or bz) else E))
-                  + wyz * (cyz if (by and bz) else (GG if not (by or bz) else E)))
-            # mc is array-valued only when a match term is present
-            mc = jnp.broadcast_to(jnp.asarray(mc, jnp.int32), (S, S))
+            mc = (wxy * (gxy if (bx and by) else (GG if not (bx or by) else E))
+                  + wxz * (gxz if (bx and bz) else (GG if not (bx or bz) else E))
+                  + wyz * (gyz if (by and bz) else (GG if not (by or bz) else E)))
             best = jnp.minimum(best, jnp.where(ok, child + mc, INF3))
         at_goal = (ii == Lx) & (jj == Ly) & (kk == Lz)
         newp = jnp.where(in_range, jnp.where(at_goal, 0, best), INF3)
-        return (newp, p1, p2), newp
+        # scatter the finished plane into the cube stack (drop out-of-range)
+        flat = tt * (S * S * S) + jnp.clip(ii, 0, S - 1) * (S * S) + jj * S + kk
+        flat = jnp.where(in_range, flat, T * S * S * S)
+        H = H.at[flat.reshape(-1)].set(newp.reshape(-1), mode="drop")
+        return (H, newp, p1, p2), None
 
-    inf_plane = jnp.full((S, S), INF3, dtype=jnp.int32)
-    ds = jnp.arange(Dmax, -1, -1, dtype=jnp.int32)
-    _, planes = jax.lax.scan(step, (inf_plane, inf_plane, inf_plane), ds)
-    # planes[t] is anti-diagonal d = Dmax - t; H[i,j,k] = planes[Dmax-(i+j+k), j, k]
-    ii3 = jnp.arange(S, dtype=jnp.int32)[:, None, None]
-    jj3 = jnp.arange(S, dtype=jnp.int32)[None, :, None]
-    kk3 = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-    t = jnp.clip(Dmax - (ii3 + jj3 + kk3), 0, Dmax)
-    H = planes[t, jj3, kk3]
-    return jnp.where(ii3 + jj3 + kk3 > Dmax, INF3, H)
+    ds = d0 - jnp.arange(CH, dtype=jnp.int32)
+    (H, p1, p2, p3), _ = jax.lax.scan(step, (H, p1, p2, p3), ds)
+    return H, p1, p2, p3
 
 
 def triple_tables_device(problem: Problem,
                          triangles: Sequence[Tuple[int, int, int]],
-                         weight_i: np.ndarray, device=None):
+                         weight_i: np.ndarray, device=None,
+                         tri_weights: Optional[Sequence[Tuple[int, int, int]]] = None):
     """(T, S, S, S) int32 device stack of triangle suffix cubes,
     S = max_length + 2 (matching the engine's pair-table stride).
 
@@ -198,16 +253,45 @@ def triple_tables_device(problem: Problem,
     S = problem.max_length + 2
     enc = [np.frombuffer(s.encode("latin-1"), dtype=np.uint8) for s in problem.seqs]
     ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
+    if tri_weights is None:
+        tri_weights = [(int(weight_i[x, y]), int(weight_i[x, z]),
+                        int(weight_i[y, z])) for (x, y, z) in triangles]
+    T = len(triangles)
+    # per-pair residue-cost matrices at stride S (padded rows cost 0: only
+    # read through masked-out moves)
+    cm = np.zeros((3, T, S, S), dtype=np.int32)
+    lens = np.zeros((T, 3), dtype=np.int32)
+    for t, (x, y, z) in enumerate(triangles):
+        ex, ey, ez = enc[x], enc[y], enc[z]
+        lens[t] = (len(ex), len(ey), len(ez))
+        cm[0, t, : len(ex), : len(ey)] = COST_TABLE[np.ix_(ex, ey)]
+        cm[1, t, : len(ex), : len(ez)] = COST_TABLE[np.ix_(ex, ez)]
+        cm[2, t, : len(ey), : len(ez)] = COST_TABLE[np.ix_(ey, ez)]
+    ws = np.asarray(tri_weights, dtype=np.int32).reshape(T, 3)
+    Dmax = int(lens.sum(axis=1).max())
+    CH = 128  # planes per dispatch: keeps each well under tunnel watchdogs
     with ctx:
-        tabs = []
-        for (x, y, z) in triangles:
-            tabs.append(_fill_one_device(
-                enc[x], enc[y], enc[z],
-                (len(enc[x]), len(enc[y]), len(enc[z])),
-                (int(weight_i[x, y]), int(weight_i[x, z]), int(weight_i[y, z])),
-                S,
-            ))
-        return jnp.stack(tabs)
+        import functools
+
+        fill = jax.jit(functools.partial(_fill_chunk_device, S=S, CH=CH),
+                       donate_argnums=(0, 1, 2, 3))
+        H = jnp.full((T * S * S * S,), INF3, dtype=jnp.int32)
+        # three distinct buffers: all four leading args are donated
+        p1 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
+        p2 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
+        p3 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
+        a_cxy = jnp.asarray(cm[0].reshape(T, -1))
+        a_cxz = jnp.asarray(cm[1].reshape(T, -1))
+        a_cyz = jnp.asarray(cm[2].reshape(T, -1))
+        a_lens = jnp.asarray(lens)
+        a_ws = jnp.asarray(ws)
+        d0 = Dmax
+        while d0 >= 0:
+            H, p1, p2, p3 = fill(H, p1, p2, p3,
+                                 jnp.asarray(np.int32(d0)),
+                                 a_cxy, a_cxz, a_cyz, a_lens, a_ws)
+            d0 -= CH
+        return H.reshape(T, S, S, S)
 
 
 @dataclass
@@ -220,6 +304,7 @@ class HTriples:
     base: HPairHeuristic
     triangles: List[Tuple[int, int, int]]
     tri_tabs: object = field(repr=False)  # jax (T, S, S, S) int32
+    tri_weights: Optional[List[Tuple[int, int, int]]] = None  # per-cube pair weights
     device: object = None  # build device (None = default backend)
     h_origin: object = None  # (T,) np.int64 cube values at the origin
     _np_tabs: object = field(default=None, repr=False)  # lazy host copy
@@ -251,11 +336,24 @@ class HTriples:
         return self.base.pair_weights_i()
 
     # --- triple-aware pieces ----------------------------------------------
+    def _weights(self) -> List[Tuple[int, int, int]]:
+        if self.tri_weights is not None:
+            return self.tri_weights
+        return [(int(self.weight_i[x, y]), int(self.weight_i[x, z]),
+                 int(self.weight_i[y, z])) for (x, y, z) in self.triangles]
+
     @property
     def covered_pairs(self) -> set:
+        """Pairs whose weight lives in a cube (zero-weight cherry edges are
+        NOT covered — their pairwise term must stay in the h sum)."""
         out = set()
-        for (x, y, z) in self.triangles:
-            out |= {(x, y), (x, z), (y, z)}
+        for (x, y, z), (wxy, wxz, wyz) in zip(self.triangles, self._weights()):
+            if wxy:
+                out.add((x, y))
+            if wxz:
+                out.add((x, z))
+            if wyz:
+                out.add((y, z))
         return out
 
     def pair_weights_h_i(self) -> np.ndarray:
@@ -292,13 +390,14 @@ class HTriples:
     def rebuild(self) -> None:
         """Recompute the device cubes (after a TPU worker restart)."""
         self.tri_tabs = triple_tables_device(
-            self.problem, self.triangles, self.weight_i, device=self.device)
+            self.problem, self.triangles, self.weight_i, device=self.device,
+            tri_weights=self.tri_weights)
         self._np_tabs = None
 
     @classmethod
     def build(cls, base: HPairHeuristic,
               max_triangles: Optional[int] = None,
-              budget_bytes: int = 2 << 30,
+              budget_bytes: int = 6 << 30,
               device=None) -> Optional["HTriples"]:
         """Wrap ``base`` with as many greedy triangles as the budget allows.
 
@@ -313,16 +412,20 @@ class HTriples:
         if bool((wi[~np.eye(n, dtype=bool)] <= 0).any()):
             return None  # negative edge costs: bound algebra undefined
         S = problem.max_length + 2
-        per = S * S * S * 4
+        # per-cube footprint: base (4 B/cell) + engine corner rows (32 B/cell)
+        per = S * S * S * 36
         cap = max(0, budget_bytes // max(per, 1))
         if max_triangles is not None:
             cap = min(cap, max_triangles)
         if cap <= 0:
             return None
-        tris = pick_triangles(wi, n, max_triangles=cap)
-        if not tris:
+        cover = pick_cover(wi, n, max_triangles=cap)
+        if not cover:
             return None
-        tabs = triple_tables_device(problem, tris, wi, device=device)
+        tris = [t for t, _ in cover]
+        tws = [w for _, w in cover]
+        tabs = triple_tables_device(problem, tris, wi, device=device,
+                                    tri_weights=tws)
         h_origin = np.asarray(tabs[:, 0, 0, 0]).astype(np.int64)
-        return cls(base=base, triangles=tris, tri_tabs=tabs, device=device,
-                   h_origin=h_origin)
+        return cls(base=base, triangles=tris, tri_tabs=tabs, tri_weights=tws,
+                   device=device, h_origin=h_origin)

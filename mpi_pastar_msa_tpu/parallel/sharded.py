@@ -690,8 +690,11 @@ class ShardedFrontierSearch:
 
         # triple-wise heuristic upgrade (heuristic/triples.py), replicated
         # across the mesh like the pair tables; deterministic, so every
-        # process builds identical cubes
-        if (not self.degenerate
+        # process builds identical cubes.  Skipped on multi-process meshes:
+        # under jax.distributed every dispatch carries ~10 s of coordination
+        # latency here, so the cube build dominates; a multi-host user can
+        # still pass an HTriples-wrapped heuristic explicitly.
+        if (not self.degenerate and not self.multiprocess
                 and getattr(self.heuristic, "triangles", None) is None):
             from ..heuristic.triples import HTriples
 

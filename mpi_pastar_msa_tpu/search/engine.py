@@ -2071,7 +2071,8 @@ class TpuFrontierSearch:
             h.update(s.encode())
         h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{self.layout}".encode())
         # stored f values depend on the heuristic definition
-        h.update(f":tri{getattr(self.heuristic, 'triangles', None)}".encode())
+        h.update(f":tri{getattr(self.heuristic, 'triangles', None)}"
+                 f":{getattr(self.heuristic, 'tri_weights', None)}".encode())
         if self.layout == "sig":
             # bucketed-sig format, v3 = 2-D (buckets, ways) t_sig
             h.update(f":w{self.st.ways}v3".encode())

@@ -41,7 +41,9 @@ class TestMultihost:
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=420)
+                # cold compilation cache (first run after a jit-signature
+                # change) roughly doubles the wall; keep margin for it
+                out, _ = p.communicate(timeout=700)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()

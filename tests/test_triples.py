@@ -86,7 +86,9 @@ class TestPacking:
         p = Problem(_rand_seqs(rng, 4, 3, 6))
         hp = HPairHeuristic.build(p)
         ht = HTriples.build(hp)
-        assert ht is not None and len(ht.triangles) == 1
+        # N=4 cover: one full triangle + one cherry cube (zero-weight third
+        # edge) + one leftover pairwise term
+        assert ht is not None and len(ht.triangles) == 2
         # true remaining cost: backward DP over the full 4-D lattice
         import itertools
         from mpi_pastar_msa_tpu.core.cost import (COST_TABLE, GAP_EXTENSION,
