@@ -60,6 +60,8 @@ def make_parser() -> argparse.ArgumentParser:
                     help="hash-table capacity (default: auto)")
     ap.add_argument("--chunk", type=int, default=64,
                     help="super-steps per device dispatch")
+    ap.add_argument("--triples", choices=("auto", "on", "off"), default="auto",
+                    help="triple-wise heuristic cubes (auto: when applicable)")
     ap.add_argument("--checkpoint", metavar="PATH", default=None,
                     help="periodically checkpoint the search state; resumes "
                          "automatically if PATH exists for the same problem")
@@ -131,6 +133,13 @@ def run(argv=None) -> int:
                 from .parallel.sharded import ShardedFrontierSearch
 
                 devs = all_devs[:n_dev]
+                if args.triples == "off":
+                    heuristic = getattr(heuristic, "base", heuristic)
+                elif args.triples == "on" and not hasattr(heuristic, "triangles"):
+                    from .heuristic.triples import HTriples
+
+                    ht = HTriples.build(heuristic, device=devs[0])
+                    heuristic = ht if ht is not None else heuristic
                 eng = ShardedFrontierSearch(problem, heuristic, devices=devs,
                                             hash_type=args.hash_type,
                                             hash_shift=args.hash_shift,
@@ -146,7 +155,8 @@ def run(argv=None) -> int:
                                         batch=args.batch,
                                         capacity=args.capacity,
                                         chunk_steps=args.chunk,
-                                        checkpoint_path=args.checkpoint)
+                                        checkpoint_path=args.checkpoint,
+                                        triples=args.triples)
             res = eng.run()
         if args.profile:
             jax.profiler.stop_trace()
