@@ -79,6 +79,8 @@ def main() -> None:
         k_tpu_wall = time.perf_counter() - t0
         extra["kinase_tpu_nodes_per_sec"] = round(kr.nodes_expanded / k_tpu_wall)
         extra["kinase_tpu_nodes_expanded"] = kr.nodes_expanded
+        extra["kinase_triple_cubes"] = len(
+            getattr(keng.heuristic, "triangles", []) or [])
     except Exception as e:  # noqa: BLE001
         print(f"kinase tpu bench failed ({e})", file=sys.stderr)
 
