@@ -17,9 +17,9 @@ needs random access into the filled matrices.
 
 Layout: sequences are dash-prefixed as in the reference's workaround
 (ref: WeightedSP.cpp:445-447); matrices are (n+1) x (m+1) with the interior
-recurrence on (1..n-1) x (1..m-1), borders hh[0, j] / vv[i, 0] accumulated
-in-scan, and everything else (including row n / column m) left at _BIG —
-exactly the cells the host fill produces.
+recurrence on (1..n) x (1..m) (the reference's loop bound ``i < n`` is over
+the dash-PREFIXED length), borders hh[0, j] / vv[i, 0] accumulated in-scan,
+and everything else left at _BIG — exactly the cells the host fill produces.
 """
 from __future__ import annotations
 
@@ -63,8 +63,12 @@ def _gotoh_wavefront(seq_a, seq_b, n1s, n2s, l1: int):
             dd1, hh1, vv1, dd2, hh2, vv2 = carry  # diagonals d-1 and d-2
             i = ii
             j = d - i
-            Gi = jnp.where(i == n - 1, EGC, GC)
-            Gj = jnp.where(j == m - 1, EGC, GC)
+            # terminal-gap discount on the LAST row/column (i == n, j == m):
+            # the reference's n is the dash-prefixed length, so its i==n-1
+            # test fires at the last real char (ref: WeightedSP.cpp:203-216;
+            # captured-binary-verified in round 2)
+            Gi = jnp.where(i == n, EGC, GC)
+            Gj = jnp.where(j == m, EGC, GC)
 
             def shift(x, fill):
                 # value at lane i-1 of the same diagonal array
@@ -88,7 +92,7 @@ def _gotoh_wavefront(seq_a, seq_b, n1s, n2s, l1: int):
             v_new = (jnp.minimum(jnp.minimum(dd1_im1 + Gj, hh1_im1 + Gj),
                                  vv1_im1) + gV)
 
-            interior = (i >= 1) & (i <= n - 1) & (j >= 1) & (j <= m - 1)
+            interior = (i >= 1) & (i <= n) & (j >= 1) & (j <= m)
             top = (i == 0) & (j >= 1) & (j <= m)    # hh[0, j] border
             left = (j == 0) & (i >= 1) & (i <= n)   # vv[i, 0] border
             origin = (i == 0) & (j == 0)

@@ -49,6 +49,12 @@ def _gotoh_pair_matrices(a: np.ndarray, b: np.ndarray):
     lengths n+1 / m+1 where n, m are original lengths.  Matches the recurrence
     at ref: WeightedSP.cpp:187-220, including zero ("effective") gap cost on
     the last row/column.
+
+    Index convention (captured from the reference binary, round 2): the
+    reference's ``n``/``m`` are the DASH-PREFIXED lengths (n+1/m+1 here), so
+    its interior loops ``for (i=1; i<n)`` cover i = 1..n (all real chars) and
+    the terminal-gap discount fires at i == n, j == m
+    (ref: WeightedSP.cpp:203-216 with n = seqA.length()).
     """
     n = len(a) - 1  # original length
     m = len(b) - 1
@@ -65,17 +71,17 @@ def _gotoh_pair_matrices(a: np.ndarray, b: np.ndarray):
     gapH = COST_TABLE[DASH, b].astype(np.int64)               # cost(DASH, b[j])
     gapV = COST_TABLE[a, DASH].astype(np.int64)               # cost(a[i], DASH)
 
-    # Interior cells (1..n-1) x (1..m-1); Gi/Gj become 0 on the last
-    # interior row/column (terminal-gap discount).
-    for d in range(2, (n - 1) + (m - 1) + 1):
-        i_lo = max(1, d - (m - 1))
-        i_hi = min(n - 1, d - 1)
+    # Interior cells (1..n) x (1..m); Gi/Gj become 0 on the last row/column
+    # (terminal-gap discount).
+    for d in range(2, n + m + 1):
+        i_lo = max(1, d - m)
+        i_hi = min(n, d - 1)
         if i_lo > i_hi:
             continue
         ii = np.arange(i_lo, i_hi + 1)
         jj = d - ii
-        Gi = np.where(ii == n - 1, PRIMER_EFFECTIVE_GAP_COST, PRIMER_GAP_COST)
-        Gj = np.where(jj == m - 1, PRIMER_EFFECTIVE_GAP_COST, PRIMER_GAP_COST)
+        Gi = np.where(ii == n, PRIMER_EFFECTIVE_GAP_COST, PRIMER_GAP_COST)
+        Gj = np.where(jj == m, PRIMER_EFFECTIVE_GAP_COST, PRIMER_GAP_COST)
         d_diag = np.minimum(np.minimum(dd[ii - 1, jj - 1], hh[ii - 1, jj - 1]), vv[ii - 1, jj - 1]) + sub[ii, jj]
         h_new = np.minimum(np.minimum(dd[ii, jj - 1] + Gi, hh[ii, jj - 1]), vv[ii, jj - 1] + Gi) + gapH[jj]
         v_new = np.minimum(np.minimum(dd[ii - 1, jj] + Gj, hh[ii - 1, jj] + Gj), vv[ii - 1, jj]) + gapV[ii]
@@ -90,7 +96,10 @@ def _traceback_distance(a: np.ndarray, b: np.ndarray, dd, hh, vv) -> int:
     (ref: WeightedSP.cpp:109-142).  ``a``/``b`` dash-prefixed."""
     n = len(a) - 1
     m = len(b) - 1
-    i, j = n - 1, m - 1  # called with n-1, m-1 (ref: WeightedSP.cpp:223)
+    # The reference calls convert_path_to_cost with n-1, m-1 where n/m are the
+    # dash-PREFIXED lengths (ref: WeightedSP.cpp:223), i.e. the ORIGINAL
+    # lengths — verified against the reference binary (round 2).
+    i, j = n, m
     N_, M_ = i, j        # traceback bounds
     direction = _DIAG
     match = 0

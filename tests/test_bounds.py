@@ -14,7 +14,7 @@ REF = "/root/reference"
 class TestGreedyUpperBound:
     @pytest.mark.parametrize(
         "name,opt",
-        [("test.fasta", 13950), ("test2.fasta", 42075), ("PF08184.fasta", 24450)],
+        [("test.fasta", 52440), ("test2.fasta", 45037), ("PF08184.fasta", 24450)],
     )
     def test_bundled_exact(self, name, opt):
         p = problem_from_fasta(f"{REF}/{name}")

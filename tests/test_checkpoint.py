@@ -33,7 +33,7 @@ class TestCheckpointResume:
 
     def test_mismatched_checkpoint_ignored(self, tmp_path):
         ckpt = str(tmp_path / "search.ckpt.npz")
-        p1 = Problem(("ACDEF", "ACF", "CDE"))
+        p1 = Problem(("ACDEFG", "ACDFG", "ACEFG"))
         h1 = HPairHeuristic.build(p1)
         e1 = TpuFrontierSearch(p1, h1, batch=16, capacity=1 << 12,
                                checkpoint_path=ckpt, checkpoint_every=1,
@@ -46,7 +46,7 @@ class TestCheckpointResume:
             pytest.skip("search finished before a checkpoint was written")
 
         # a different problem must ignore the stale checkpoint and still solve
-        p2 = Problem(("ACDE", "ACE", "CDE"))
+        p2 = Problem(("ACDEF", "ACDF", "ACEF"))
         h2 = HPairHeuristic.build(p2)
         e2 = TpuFrontierSearch(p2, h2, batch=16, capacity=1 << 12,
                                checkpoint_path=ckpt)

@@ -33,7 +33,7 @@ class TestCli:
     def test_native_engine(self):
         rc, out = _capture(["--engine", "native", f"{REF}/test2.fasta"])
         assert rc == 0
-        assert "g - 42075" in out
+        assert "g - 45037" in out
 
     def test_tpu_engine_cpu_platform(self):
         rc, out = _capture(["--engine", "tpu", "--platform", "cpu",

@@ -99,12 +99,12 @@ class TestWeights:
             assert off.min() == 8, path
 
     def test_test_fasta_weight_values(self):
-        # regression-pinned values computed by this pipeline (float32-exact
-        # emulation of the reference's Altschul rationale-2 code path)
+        # values captured from the reference binary itself
+        # (tests/ref_captured/test_weights.txt; see tools/refbuild/)
         p = problem_from_fasta(f"{REF}/test.fasta")
         wf, wi = altschul_rationale2(p.seqs)
-        assert wi[0, 1] == 99
-        assert wi[3, 6] == 8 and wi[3, 7] == 8
+        assert wi[0, 1] == 341
+        assert wi[3, 6] == 55 and wi[3, 7] == 34
         assert np.array_equal(wi, wi.T)
 
 

@@ -15,7 +15,7 @@ from mpi_pastar_msa_tpu.search import engine as E
 
 
 def _mk_static(capacity=1 << 10, batch=64):
-    p = Problem(("ACDEF", "ACF", "CDE"))
+    p = Problem(("ACDEFG", "ACDFG", "ACEFG"))
     h = HPairHeuristic.build(p)
     eng = E.TpuFrontierSearch(p, h, batch=batch, capacity=capacity)
     return eng.st

@@ -39,7 +39,7 @@ class TestBundledInputs:
     def test_test_fasta(self):
         p = problem_from_fasta(f"{REF}/test.fasta")
         res = SerialAStar(p).run()
-        assert res.g == 13950
+        assert res.g == 52440
         assert res.h == 0
         al = build_alignment(p, res.closed)
         assert all(len(a) == len(al[0]) for a in al)
@@ -56,7 +56,7 @@ class TestBundledInputs:
         assert round(similarity(al), 2) == 95.48
 
     def test_alignment_roundtrip_gapped(self):
-        p = Problem(("ACDEF", "ACF", "CDE"))
+        p = Problem(("ACDEFG", "ACDFG", "ACEFG"))
         res = SerialAStar(p).run()
         al = build_alignment(p, res.closed)
         for row, s in zip(al, p.seqs):
@@ -81,10 +81,10 @@ class TestGoldens:
 
         path = os.path.join(os.path.dirname(__file__), "goldens.json")
         goldens = json.load(open(path))
-        assert goldens["test.fasta"]["optimal_g"] == 13950
+        assert goldens["test.fasta"]["optimal_g"] == 52440
         assert goldens["PF08184.fasta"]["optimal_g"] == 24450
         assert goldens["kinase.fasta"]["optimal_g"] == 421546
-        assert goldens["test2.fasta"]["optimal_g"] == 42075
+        assert goldens["test2.fasta"]["optimal_g"] == 45037
         for name, rec in goldens.items():
             al = rec["alignment"]
             assert len({len(a) for a in al}) == 1

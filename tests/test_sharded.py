@@ -48,7 +48,7 @@ class TestShardedEngine:
     @pytest.mark.parametrize("layout", ["sig", "packed", "unpacked"])
     def test_layouts_match_serial(self, layout):
         # the default 'auto' resolves to sig here; pin each layout explicitly
-        p = Problem(("ACDEF", "ACF", "CDE"))
+        p = Problem(("ACDEFG", "ACDFG", "ACEFG"))
         h = HPairHeuristic.build(p)
         want = SerialAStar(p, h).run().g
         eng = ShardedFrontierSearch(
@@ -66,7 +66,7 @@ class TestShardedEngine:
 
     @pytest.mark.parametrize("hash_type", ["FZORDER", "FSUM", "PSUM", "PZORDER"])
     def test_all_hash_types(self, hash_type):
-        p = Problem(("ACDEF", "ACF", "CDE"))
+        p = Problem(("ACDEFG", "ACDFG", "ACEFG"))
         h = HPairHeuristic.build(p)
         want = SerialAStar(p, h).run().g
         res = ShardedFrontierSearch(

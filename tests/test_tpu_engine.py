@@ -86,8 +86,8 @@ class TestEngineEndToEnd:
     @pytest.mark.parametrize(
         "name,want_g,want_sim",
         [
-            ("test.fasta", 13950, 50.0),
-            ("test2.fasta", 42075, 39.17),
+            ("test.fasta", 52440, 50.0),
+            ("test2.fasta", 45037, 39.17),
             ("PF08184.fasta", 24450, 95.48),
         ],
     )
