@@ -43,7 +43,10 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("-y", "--hash_type", choices=HASH_TYPES, default="FZORDER",
                     help="owner-hash strategy")
     ap.add_argument("--memory_debug", action="store_true",
-                    help="run full cleanup before exiting")
+                    help="strict-cleanup mode: drop all engine/heuristic "
+                         "state, force GC, and report device buffers still "
+                         "live (the reference's flag keeps destructors for "
+                         "leak checkers, ref: msa_options.cpp:114-117)")
     ap.add_argument("--engine", choices=("auto", "serial", "native", "tpu"),
                     default="auto", help="search engine backend")
     ap.add_argument("--devices", type=int, default=0,
@@ -185,6 +188,26 @@ def run(argv=None) -> int:
           f"\tclosed {total_closed}\topen {total_open}")
     if t2.elapsed > 0:
         print(f"throughput: {total_exp / t2.elapsed:.0f} nodes expanded/s")
+
+    if args.memory_debug:
+        # Device analogue of the reference's --memory_debug (which disables
+        # the exit(0) fast path so valgrind sees destructors,
+        # ref: pastar/msa_options.cpp:114-117, pastar/include/AStar.h:13-17):
+        # drop every engine/heuristic reference, force GC, and report any
+        # device buffers still alive — a leak in the functional engine shows
+        # up as unexpectedly retained arrays here.
+        import gc
+
+        import jax
+
+        del res, closed, stats, heuristic
+        eng = None  # tpu-path engine, if any; rebind drops the device tables
+        del eng
+        gc.collect()
+        live = [a for a in jax.live_arrays() if not a.is_deleted()]
+        n_bytes = sum(a.nbytes for a in live)
+        print(f"memory_debug: {len(live)} live device arrays, "
+              f"{n_bytes / 1e6:.1f} MB after cleanup")
     return 0
 
 

@@ -853,6 +853,11 @@ class ShardedFrontierSearch:
             closed[coord] = (0, mv)
             coord = tuple(coord[i] - ((mv >> i) & 1) for i in range(st.n))
 
+        # exact g per path node (the table stores (f<<n)|parent, not g)
+        from ..search.backtrace import attach_path_g
+
+        closed = attach_path_g(self.problem, self.heuristic.weight_i, closed,
+                               goal_g=goal_v)
         h_goal = self.heuristic.calculate_h(st.final_np)
         return ShardedSearchResult(
             g=goal_v, h=h_goal, f=goal_v + h_goal, closed=closed,

@@ -11,6 +11,9 @@ import shutil
 import sys
 from typing import Dict, List, Tuple
 
+import numpy as np
+
+from ..core.cost import COST_TABLE, GAP_EXTENSION, GAP_GAP, GAP_OPEN
 from ..core.problem import Problem
 
 
@@ -32,6 +35,62 @@ def build_alignment(problem: Problem,
                 cols[i].append("-")
         coord = parent
     return ["".join(reversed(c)) for c in cols]
+
+
+def attach_path_g(problem: Problem, weight_i,
+                  closed: Dict[Tuple[int, ...], Tuple[int, int]],
+                  goal_g: int | None = None) -> Dict[Tuple[int, ...], Tuple[int, int]]:
+    """Replace placeholder g values in a path-only closed dict with exact ones.
+
+    The device engines' tables store (f << n) | parent per slot, not g, so the
+    walked path arrives with g placeholders.  g is recomputed here by walking
+    origin -> goal and accumulating the exact weighted edge costs — the same
+    pairCost semantics as expansion (ref: pastar/Node.cpp:129-152,220-246:
+    match/mismatch at the parent's position, GapOpen iff the sequence's
+    advance state changed vs the parent's own move mask, GapGap when neither
+    sequence moves).  If ``goal_g`` is given, the accumulated goal g is
+    asserted against it.
+    """
+    n = problem.n_seq
+    pairs = problem.pairs()
+    pair_w = [int(weight_i[x, y]) for x, y in pairs]
+    enc = [np.frombuffer(s.encode("latin-1"), dtype=np.uint8).astype(np.int32)
+           for s in problem.seqs]
+
+    # path ordered goal -> origin, then reversed
+    chain: List[Tuple[Tuple[int, ...], int]] = []
+    coord = tuple(int(v) for v in problem.final_coord)
+    origin = tuple(0 for _ in range(n))
+    while coord != origin:
+        mask = closed[coord][1]
+        chain.append((coord, mask))
+        coord = tuple(coord[i] - ((mask >> i) & 1) for i in range(n))
+    chain.reverse()
+
+    g = 0
+    parent = origin
+    parent_mask = problem.root_parent_mask
+    out = dict(closed)
+    for coord, mask in chain:
+        edge = 0
+        for k, (x, y) in enumerate(pairs):
+            bx = (mask >> x) & 1
+            by = (mask >> y) & 1
+            if bx and by:
+                pc = int(COST_TABLE[enc[x][parent[x]] if parent[x] < len(enc[x]) else 0,
+                                    enc[y][parent[y]] if parent[y] < len(enc[y]) else 0])
+            elif not bx and not by:
+                pc = GAP_GAP
+            else:
+                s = y if bx else x
+                pc = GAP_OPEN if ((parent_mask >> s) & 1) != ((mask >> s) & 1) else GAP_EXTENSION
+            edge += pc * pair_w[k]
+        g += edge
+        out[coord] = (g, mask)
+        parent, parent_mask = coord, mask
+    if goal_g is not None and chain and g != goal_g:
+        raise RuntimeError(f"path g reconstruction mismatch: {g} != {goal_g}")
+    return out
 
 
 def similarity(alignment: List[str]) -> float:

@@ -49,6 +49,7 @@ import numpy as np
 from ..core.cost import COST_TABLE, GAP_EXTENSION, GAP_GAP, GAP_OPEN
 from ..core.problem import Problem
 from ..heuristic.hpair import HPairHeuristic
+from .backtrace import attach_path_g
 from ..utils.jaxcache import enable_compilation_cache
 
 enable_compilation_cache()
@@ -2235,11 +2236,29 @@ class TpuFrontierSearch:
             closed[coord] = (0, mv)
             coord = tuple(coord[i] - ((mv >> i) & 1) for i in range(st.n))
 
+        # exact g per path node (the table stores (f<<n)|parent, not g);
+        # with degenerate (non-positive) weights the finalized path may be
+        # non-optimal, so skip the goal-g consistency assertion there
+        closed = attach_path_g(self.problem, self.heuristic.weight_i, closed,
+                               goal_g=None if self.degenerate else goal_v)
+
         h_goal = self.heuristic.calculate_h(st.final_np)
-        n_closed = total_expanded  # approximation: closed set size ~ expansions
+        # real closed/open sizes from the table, matching the reference's
+        # print_nodes_count semantics (ref: pastar/PAStar.cpp:591-619):
+        # "closed" = selected and not since reopened (the reference erases a
+        # reopened entry from ClosedList, pastar/AStar.cpp:89), "open" =
+        # entries whose best f improved past their closed snapshot.
+        if self.layout == "unpacked":
+            t_state = tab[4]
+            n_closed = int(jnp.sum(t_state == 2))
+            n_open = int(jnp.sum(t_state == 1))
+        else:
+            t_best, t_closed = tab[1], tab[2]
+            n_open = int(jnp.sum(t_best < t_closed))
+            n_closed = int(jnp.sum((t_closed < INFP) & (t_best >= t_closed)))
         return TpuSearchResult(
             g=goal_v, h=h_goal, f=goal_v + h_goal, closed=closed,
             nodes_expanded=total_expanded, nodes_reopened=total_reopen,
-            open_size=last_n_open, steps=steps,
-            shard_stats=[(total_expanded, total_reopen, n_closed, last_n_open)],
+            open_size=n_open, steps=steps,
+            shard_stats=[(total_expanded, total_reopen, n_closed, n_open)],
         )

@@ -194,3 +194,33 @@ class TestSixSequences:
         assert len({len(r) for r in rows}) == 1
         for row, s in zip(rows, seqs):
             assert row.replace("-", "") == s
+
+
+class TestRealStats:
+    def test_path_g_values_and_table_counts(self):
+        """The closed dict carries exact g per path node and the per-tid
+        stats are real table sizes, semantically matching the reference's
+        print_nodes_count (ref: pastar/PAStar.cpp:591-619)."""
+        from mpi_pastar_msa_tpu.search.serial import SerialAStar
+
+        p = problem_from_fasta(f"{REF}/PF08184.fasta")
+        h = HPairHeuristic.build(p)
+        res = E.TpuFrontierSearch(p, h).run()
+        oracle = SerialAStar(p, h).run()
+
+        # every path node's g is the exact optimal-path prefix cost
+        for coord, (g, mask) in res.closed.items():
+            assert coord in oracle.closed
+            assert g == oracle.closed[coord][0], coord
+        goal = tuple(int(v) for v in p.final_coord)
+        assert res.closed[goal][0] == res.g
+
+        # real closed/open table counts: the closed set covers at least the
+        # path, closed <= expansions, and closed+open equals the number of
+        # distinct coordinates the engine ever inserted (occupancy)
+        (exp, reopen, n_closed, n_open), = res.shard_stats
+        assert n_closed >= len(res.closed)
+        assert n_closed <= exp
+        assert exp == res.nodes_expanded
+        assert n_open == res.open_size
+        assert n_closed > 0 and n_open >= 0
