@@ -164,13 +164,17 @@ def triple_suffix_table_host(sx: str, sy: str, sz: str,
     return H
 
 
-def _fill_chunk_device(H, p1, p2, p3, d0, cxy, cxz, cyz, lens, ws,
+def _fill_chunk_device(H, p1, p2, p3, org, d0, cxy, cxz, cyz, lens, ws,
                        S: int, CH: int):
     """One CHUNK (CH anti-diagonal planes, d = d0, d0-1, ...) of the
     wavefront fill of ALL T triangle suffix cubes at once.
 
     H: (T*S^3,) int32 flat cube stack (donated; planes scattered in as they
     are computed).  p1/p2/p3: (T, S, S) planes d0+1, d0+2, d0+3.
+    org: (T,) int32 carried origin values H[t, 0, 0, 0], captured when the
+    wavefront computes plane d == 0 — returned as a plain contiguous output
+    because ANY post-hoc element extraction from the cube (strided slice,
+    gather) costs a fresh 60-120 s Mosaic compile on the tunneled backend.
     cxy/cxz/cyz: (T, S*S) int32 per-pair residue-cost matrices;
     lens: (T, 3) int32 lengths; ws: (T, 3) int32 cube pair weights.
 
@@ -196,7 +200,7 @@ def _fill_chunk_device(H, p1, p2, p3, d0, cxy, cxz, cyz, lens, ws,
     tt = jnp.arange(T, dtype=jnp.int32)[:, None, None]
 
     def step(carry, d):
-        H, p1, p2, p3 = carry  # (T, S, S) planes d+1, d+2, d+3
+        H, p1, p2, p3, org = carry  # (T, S, S) planes d+1, d+2, d+3
         ii = d - jj - kk  # (1, S, S)
         in_range = (ii >= 0) & (ii <= Lx) & (jj <= Ly) & (kk <= Lz)
         ic = jnp.clip(ii, 0, S - 1)
@@ -227,11 +231,13 @@ def _fill_chunk_device(H, p1, p2, p3, d0, cxy, cxz, cyz, lens, ws,
         flat = tt * (S * S * S) + jnp.clip(ii, 0, S - 1) * (S * S) + jj * S + kk
         flat = jnp.where(in_range, flat, T * S * S * S)
         H = H.at[flat.reshape(-1)].set(newp.reshape(-1), mode="drop")
-        return (H, newp, p1, p2), None
+        # plane d == 0 holds exactly the origin cell (0, 0, 0) at (j=0, k=0)
+        org = jnp.where(d == 0, newp[:, 0, 0], org)
+        return (H, newp, p1, p2, org), None
 
     ds = d0 - jnp.arange(CH, dtype=jnp.int32)
-    (H, p1, p2, p3), _ = jax.lax.scan(step, (H, p1, p2, p3), ds)
-    return H, p1, p2, p3
+    (H, p1, p2, p3, org), _ = jax.lax.scan(step, (H, p1, p2, p3, org), ds)
+    return H, p1, p2, p3, org
 
 
 def triple_tables_device(problem: Problem,
@@ -274,12 +280,13 @@ def triple_tables_device(problem: Problem,
         import functools
 
         fill = jax.jit(functools.partial(_fill_chunk_device, S=S, CH=CH),
-                       donate_argnums=(0, 1, 2, 3))
+                       donate_argnums=(0, 1, 2, 3, 4))
         H = jnp.full((T * S * S * S,), INF3, dtype=jnp.int32)
-        # three distinct buffers: all four leading args are donated
+        # distinct buffers: all five leading args are donated
         p1 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
         p2 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
         p3 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
+        org = jnp.full((T,), INF3, dtype=jnp.int32)
         a_cxy = jnp.asarray(cm[0].reshape(T, -1))
         a_cxz = jnp.asarray(cm[1].reshape(T, -1))
         a_cyz = jnp.asarray(cm[2].reshape(T, -1))
@@ -287,11 +294,11 @@ def triple_tables_device(problem: Problem,
         a_ws = jnp.asarray(ws)
         d0 = Dmax
         while d0 >= 0:
-            H, p1, p2, p3 = fill(H, p1, p2, p3,
-                                 jnp.asarray(np.int32(d0)),
-                                 a_cxy, a_cxz, a_cyz, a_lens, a_ws)
+            H, p1, p2, p3, org = fill(H, p1, p2, p3, org,
+                                      jnp.asarray(np.int32(d0)),
+                                      a_cxy, a_cxz, a_cyz, a_lens, a_ws)
             d0 -= CH
-        return H.reshape(T, S, S, S)
+        return H.reshape(T, S, S, S), np.asarray(org).astype(np.int64)
 
 
 @dataclass
@@ -389,7 +396,7 @@ class HTriples:
 
     def rebuild(self) -> None:
         """Recompute the device cubes (after a TPU worker restart)."""
-        self.tri_tabs = triple_tables_device(
+        self.tri_tabs, self.h_origin = triple_tables_device(
             self.problem, self.triangles, self.weight_i, device=self.device,
             tri_weights=self.tri_weights)
         self._np_tabs = None
@@ -424,8 +431,7 @@ class HTriples:
             return None
         tris = [t for t, _ in cover]
         tws = [w for _, w in cover]
-        tabs = triple_tables_device(problem, tris, wi, device=device,
-                                    tri_weights=tws)
-        h_origin = np.asarray(tabs[:, 0, 0, 0]).astype(np.int64)
+        tabs, h_origin = triple_tables_device(problem, tris, wi, device=device,
+                                              tri_weights=tws)
         return cls(base=base, triangles=tris, tri_tabs=tabs, tri_weights=tws,
                    device=device, h_origin=h_origin)

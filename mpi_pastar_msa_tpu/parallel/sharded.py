@@ -689,12 +689,13 @@ class ShardedFrontierSearch:
         self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
 
         # triple-wise heuristic upgrade (heuristic/triples.py), replicated
-        # across the mesh like the pair tables; deterministic, so every
-        # process builds identical cubes.  Skipped on multi-process meshes:
-        # under jax.distributed every dispatch carries ~10 s of coordination
-        # latency here, so the cube build dominates; a multi-host user can
-        # still pass an HTriples-wrapped heuristic explicitly.
-        if (not self.degenerate and not self.multiprocess
+        # across the mesh like the pair tables; deterministic int32 DP, so
+        # every process builds identical cubes locally (the compute-and-
+        # broadcast alternative the SURVEY sanctions is unnecessary: local
+        # redundant build is cheaper than shipping the cube over DCN).
+        # calculate_h serves origin/goal from build-time host values, so no
+        # per-scalar device fetches ride the jax.distributed slow path.
+        if (not self.degenerate
                 and getattr(self.heuristic, "triangles", None) is None):
             from ..heuristic.triples import HTriples
 

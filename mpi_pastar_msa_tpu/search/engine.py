@@ -191,14 +191,23 @@ class _Static:
             base3 = heuristic.tri_tabs  # (T, S, S, S) int32, INF outside box
             if tuple(base3.shape) != (self.T3, S, S, S):
                 raise ValueError("triangle cube stride mismatch with engine")
-            t0 = jnp.where(base3 >= 2**29, 0, base3)
-            tp = jnp.pad(t0, ((0, 0), (0, 1), (0, 1), (0, 1)))
-            rows3 = jnp.stack(
-                [tp[:, bx : bx + S, by : by + S, bz : bz + S]
-                 for bx in (0, 1) for by in (0, 1) for bz in (0, 1)],
-                axis=-1,
-            )  # corner index c = 4*bx + 2*by + bz matches tri_corner
-            self.d_tri8 = rows3.reshape(-1, 8)
+            # run the corner-row conversion on the cube's own device: on a
+            # multi-process mesh the cubes are pinned to a LOCAL device while
+            # the default backend may be a (remote) TPU — mixing wedges
+            import contextlib
+
+            _dev = getattr(heuristic, "device", None)
+            _ctx = (jax.default_device(_dev) if _dev is not None
+                    else contextlib.nullcontext())
+            with _ctx:
+                t0 = jnp.where(base3 >= 2**29, 0, base3)
+                tp = jnp.pad(t0, ((0, 0), (0, 1), (0, 1), (0, 1)))
+                rows3 = jnp.stack(
+                    [tp[:, bx : bx + S, by : by + S, bz : bz + S]
+                     for bx in (0, 1) for by in (0, 1) for bz in (0, 1)],
+                    axis=-1,
+                )  # corner index c = 4*bx + 2*by + bz matches tri_corner
+                self.d_tri8 = rows3.reshape(-1, 8)
             self.d_tri_off = jnp.asarray(
                 np.arange(self.T3, dtype=np.int32) * (S * S * S))
             self.d_w_h = jnp.asarray(heuristic.pair_weights_h_i())

@@ -48,10 +48,13 @@ h = HPairHeuristic.build(problem)
 eng = ShardedFrontierSearch(problem, h, devices=cpus, batch=64,
                             capacity=1 << 14)
 assert eng.multiprocess
+# the triple-wise heuristic must auto-enable on multi-process meshes too
+# (N=3: the single cube makes h exact)
+assert eng.st.T3 == 1, eng.st.T3
 res = eng.run()
 assert res.g == 24450, res.g
 print(f"MULTIHOST_OK rank={pid} g={res.g} expanded={res.nodes_expanded} "
-      f"ndev={eng.ndev}", flush=True)
+      f"ndev={eng.ndev} T3={eng.st.T3}", flush=True)
 
 # exit hard: jax.distributed teardown can wedge at interpreter exit (gRPC
 # shutdown races between the two processes) — the success line is out, so a

@@ -52,3 +52,5 @@ class TestMultihost:
         for rank, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
             assert f"MULTIHOST_OK rank={rank} g=24450" in out, out[-3000:]
+            # the triple heuristic is live on the multi-process mesh
+            assert "T3=1" in out, out[-3000:]

@@ -35,10 +35,13 @@ class TestCube:
             host = triple_suffix_table_host(
                 seqs[0], seqs[1], seqs[2],
                 int(wi[0, 1]), int(wi[0, 2]), int(wi[1, 2]))
-            dev = np.asarray(triple_tables_device(p, [(0, 1, 2)], wi))[0]
+            cubes, org = triple_tables_device(p, [(0, 1, 2)], wi)
+            dev = np.asarray(cubes)[0]
             Lx, Ly, Lz = (len(s) for s in seqs)
             assert np.array_equal(
                 dev[: Lx + 1, : Ly + 1, : Lz + 1].astype(np.int64), host)
+            # carried origin values match the cube's own origin cell
+            assert org[0] == dev[0, 0, 0]
 
     def test_dominates_pairwise_and_zero_at_goal(self):
         rng = np.random.default_rng(1)
