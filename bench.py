@@ -17,6 +17,8 @@ Robustness: remote-TPU tunnel failures degrade to smaller scopes so the
 driver always gets its JSON line.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -24,6 +26,61 @@ PF = "/root/reference/PF08184.fasta"
 PF_G = 24450
 KINASE = "/root/reference/kinase.fasta"
 KINASE_G = 421546
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _tpu_smoke(extra: dict) -> bool:
+    """Run the hardware sanity lane first (tests/test_tpu_hardware.py uses
+    the same driver): catches Mosaic/layout regressions in seconds instead
+    of mid-way through a multi-minute kinase search."""
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "tpu_smoke.py")],
+            capture_output=True, text=True, timeout=900,
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["tpu_smoke"] = f"error: {e}"
+        return False
+    extra["tpu_smoke_wall_s"] = round(time.perf_counter() - t0, 1)
+    if "TPU_ABSENT" in out.stdout:
+        extra["tpu_smoke"] = "absent"
+        return False
+    ok = out.returncode == 0 and "TPU_SMOKE_PASS" in out.stdout
+    extra["tpu_smoke"] = "pass" if ok else (
+        "FAIL: " + (out.stdout + out.stderr)[-500:])
+    return ok
+
+
+def _cold_kinase(extra: dict) -> None:
+    """One-shot cold run: fresh process + empty compilation cache — the
+    honest analogue of the reference's single-shot TimeCounter phases
+    (ref: pastar/HeuristicHPair.cpp:49, pastar/PAStar.cpp:640)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        env = dict(os.environ, MSA_PASTAR_JAX_CACHE=td)
+        code = (
+            "import sys, time; sys.path.insert(0, %r);"
+            "from mpi_pastar_msa_tpu.core.problem import problem_from_fasta;"
+            "from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch;"
+            "p = problem_from_fasta(%r); t0 = time.perf_counter();"
+            "r = TpuFrontierSearch(p).run();"
+            "assert r.g == %d, r.g;"
+            "print('COLD_WALL', time.perf_counter() - t0)"
+        ) % (REPO, KINASE, KINASE_G)
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True, timeout=900,
+                                 env=env)
+            for line in out.stdout.splitlines():
+                if line.startswith("COLD_WALL"):
+                    extra["kinase_tpu_cold_wall_s"] = round(float(line.split()[1]), 1)
+                    return
+            extra["kinase_tpu_cold"] = "FAIL: " + (out.stdout + out.stderr)[-300:]
+        except subprocess.TimeoutExpired:
+            extra["kinase_tpu_cold"] = f"timeout {round(time.perf_counter() - t0)}s"
 
 
 def main() -> None:
@@ -32,6 +89,7 @@ def main() -> None:
     from mpi_pastar_msa_tpu.search.native import NativeAStar
 
     extra = {}
+    tpu_ok = _tpu_smoke(extra)
 
     # --- PF08184: correctness + small-input numbers -----------------------
     pf = problem_from_fasta(PF)
@@ -44,6 +102,8 @@ def main() -> None:
 
     pf_tpu_wall = None
     try:
+        if not tpu_ok:
+            raise RuntimeError(f"tpu smoke gate: {extra.get('tpu_smoke')}")
         from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
 
         eng = TpuFrontierSearch(pf, pf_h)
@@ -68,6 +128,8 @@ def main() -> None:
 
     k_tpu_wall = None
     try:
+        if not tpu_ok:
+            raise RuntimeError(f"tpu smoke gate: {extra.get('tpu_smoke')}")
         from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
 
         keng = TpuFrontierSearch(kin, kin_h, capacity=1 << 24, batch=16384,
@@ -83,6 +145,9 @@ def main() -> None:
             getattr(keng.heuristic, "triangles", []) or [])
     except Exception as e:  # noqa: BLE001
         print(f"kinase tpu bench failed ({e})", file=sys.stderr)
+
+    if tpu_ok:
+        _cold_kinase(extra)
 
     if k_tpu_wall is not None:
         print(json.dumps({

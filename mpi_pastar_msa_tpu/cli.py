@@ -182,8 +182,11 @@ def run(argv=None) -> int:
     total_reopen = sum(s[1] for s in stats)
     total_closed = sum(s[2] for s in stats)
     total_open = sum(s[3] for s in stats)
-    for tid, (exp, reopen, closed_n, open_n) in enumerate(stats):
-        print(f"tid {tid}\texpanded {exp}\treopened {reopen}\tclosed {closed_n}\topen {open_n}")
+    for tid, row in enumerate(stats):
+        exp, reopen, closed_n, open_n = row[:4]
+        migr = f"\tmigrated {row[4]}" if len(row) > 4 else ""
+        print(f"tid {tid}\texpanded {exp}\treopened {reopen}"
+              f"\tclosed {closed_n}\topen {open_n}{migr}")
     print(f"total\texpanded {total_exp}\treopened {total_reopen}"
           f"\tclosed {total_closed}\topen {total_open}")
     if t2.elapsed > 0:

@@ -164,17 +164,19 @@ def triple_suffix_table_host(sx: str, sy: str, sz: str,
     return H
 
 
-def _fill_chunk_device(H, p1, p2, p3, org, d0, cxy, cxz, cyz, lens, ws,
+def _fill_chunk_device(H, p1, p2, p3, d0, cxy, cxz, cyz, lens, ws,
                        S: int, CH: int):
     """One CHUNK (CH anti-diagonal planes, d = d0, d0-1, ...) of the
     wavefront fill of ALL T triangle suffix cubes at once.
 
-    H: (T*S^3,) int32 flat cube stack (donated; planes scattered in as they
-    are computed).  p1/p2/p3: (T, S, S) planes d0+1, d0+2, d0+3.
-    org: (T,) int32 carried origin values H[t, 0, 0, 0], captured when the
-    wavefront computes plane d == 0 — returned as a plain contiguous output
-    because ANY post-hoc element extraction from the cube (strided slice,
-    gather) costs a fresh 60-120 s Mosaic compile on the tunneled backend.
+    H: (T*S^3 + 128,) int32 flat cube stack (donated; planes scattered in as
+    they are computed).  The 128-slot TAIL holds the T origin values
+    H[t, 0, 0, 0], scattered there when the wavefront computes plane d == 0:
+    post-hoc element extraction from the cube (strided slice, gather, or a
+    small scan-carried output array) costs a 60-360 s layout/Mosaic
+    pathology on the tunneled backend PER FETCH, while a contiguous slice of
+    a big standard-layout array transfers instantly (measured).
+    p1/p2/p3: (T, S, S) planes d0+1, d0+2, d0+3.
     cxy/cxz/cyz: (T, S*S) int32 per-pair residue-cost matrices;
     lens: (T, 3) int32 lengths; ws: (T, 3) int32 cube pair weights.
 
@@ -200,7 +202,7 @@ def _fill_chunk_device(H, p1, p2, p3, org, d0, cxy, cxz, cyz, lens, ws,
     tt = jnp.arange(T, dtype=jnp.int32)[:, None, None]
 
     def step(carry, d):
-        H, p1, p2, p3, org = carry  # (T, S, S) planes d+1, d+2, d+3
+        H, p1, p2, p3 = carry  # (T, S, S) planes d+1, d+2, d+3
         ii = d - jj - kk  # (1, S, S)
         in_range = (ii >= 0) & (ii <= Lx) & (jj <= Ly) & (kk <= Lz)
         ic = jnp.clip(ii, 0, S - 1)
@@ -228,16 +230,20 @@ def _fill_chunk_device(H, p1, p2, p3, org, d0, cxy, cxz, cyz, lens, ws,
         at_goal = (ii == Lx) & (jj == Ly) & (kk == Lz)
         newp = jnp.where(in_range, jnp.where(at_goal, 0, best), INF3)
         # scatter the finished plane into the cube stack (drop out-of-range)
+        TS3 = T * S * S * S
         flat = tt * (S * S * S) + jnp.clip(ii, 0, S - 1) * (S * S) + jj * S + kk
-        flat = jnp.where(in_range, flat, T * S * S * S)
+        flat = jnp.where(in_range, flat, H.shape[0])
         H = H.at[flat.reshape(-1)].set(newp.reshape(-1), mode="drop")
-        # plane d == 0 holds exactly the origin cell (0, 0, 0) at (j=0, k=0)
-        org = jnp.where(d == 0, newp[:, 0, 0], org)
-        return (H, newp, p1, p2, org), None
+        # plane d == 0 holds exactly the origin cells (0, 0, 0) at (j=0, k=0);
+        # park them in the contiguous tail (out-of-range index drops)
+        oidx = jnp.where(d == 0, TS3 + jnp.arange(T, dtype=jnp.int32),
+                         H.shape[0])
+        H = H.at[oidx].set(newp[:, 0, 0], mode="drop")
+        return (H, newp, p1, p2), None
 
     ds = d0 - jnp.arange(CH, dtype=jnp.int32)
-    (H, p1, p2, p3, org), _ = jax.lax.scan(step, (H, p1, p2, p3, org), ds)
-    return H, p1, p2, p3, org
+    (H, p1, p2, p3), _ = jax.lax.scan(step, (H, p1, p2, p3), ds)
+    return H, p1, p2, p3
 
 
 def triple_tables_device(problem: Problem,
@@ -280,13 +286,15 @@ def triple_tables_device(problem: Problem,
         import functools
 
         fill = jax.jit(functools.partial(_fill_chunk_device, S=S, CH=CH),
-                       donate_argnums=(0, 1, 2, 3, 4))
-        H = jnp.full((T * S * S * S,), INF3, dtype=jnp.int32)
-        # distinct buffers: all five leading args are donated
+                       donate_argnums=(0, 1, 2, 3))
+        TS3 = T * S * S * S
+        # +128 tail: origin values parked there by the scan (see
+        # _fill_chunk_device) so they come back via a cheap contiguous slice
+        H = jnp.full((TS3 + 128,), INF3, dtype=jnp.int32)
+        # distinct buffers: all four leading args are donated
         p1 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
         p2 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
         p3 = jnp.full((T, S, S), INF3, dtype=jnp.int32)
-        org = jnp.full((T,), INF3, dtype=jnp.int32)
         a_cxy = jnp.asarray(cm[0].reshape(T, -1))
         a_cxz = jnp.asarray(cm[1].reshape(T, -1))
         a_cyz = jnp.asarray(cm[2].reshape(T, -1))
@@ -294,11 +302,15 @@ def triple_tables_device(problem: Problem,
         a_ws = jnp.asarray(ws)
         d0 = Dmax
         while d0 >= 0:
-            H, p1, p2, p3, org = fill(H, p1, p2, p3, org,
-                                      jnp.asarray(np.int32(d0)),
-                                      a_cxy, a_cxz, a_cyz, a_lens, a_ws)
+            H, p1, p2, p3 = fill(H, p1, p2, p3,
+                                 jnp.asarray(np.int32(d0)),
+                                 a_cxy, a_cxz, a_cyz, a_lens, a_ws)
             d0 -= CH
-        return H.reshape(T, S, S, S), np.asarray(org).astype(np.int64)
+        # both outputs stay DEVICE arrays: every dispatch above is async, so
+        # the caller can overlap the (long) fill execution with host work —
+        # e.g. the engine compiles its step kernels while the cubes fill;
+        # the first consumer blocks naturally via device ordering
+        return H[:TS3].reshape(T, S, S, S), H[TS3 : TS3 + T]
 
 
 @dataclass
@@ -313,8 +325,9 @@ class HTriples:
     tri_tabs: object = field(repr=False)  # jax (T, S, S, S) int32
     tri_weights: Optional[List[Tuple[int, int, int]]] = None  # per-cube pair weights
     device: object = None  # build device (None = default backend)
-    h_origin: object = None  # (T,) np.int64 cube values at the origin
+    h_origin: object = None  # (T,) device int32 cube values at the origin
     _np_tabs: object = field(default=None, repr=False)  # lazy host copy
+    _h_org_cache: object = field(default=None, repr=False)  # lazy host copy
 
     # --- delegated surface -------------------------------------------------
     @property
@@ -373,6 +386,14 @@ class HTriples:
             dtype=np.int32,
         )
 
+    def _h_origin_np(self) -> np.ndarray:
+        """Host copy of the cube origin values; first use blocks until the
+        device fill has drained (build keeps it async so callers can overlap
+        the fill with compiles)."""
+        if getattr(self, "_h_org_cache", None) is None:
+            self._h_org_cache = np.asarray(self.h_origin).astype(np.int64)
+        return self._h_org_cache
+
     def calculate_h(self, coord) -> int:
         c = np.asarray(coord)
         cov = self.covered_pairs
@@ -385,7 +406,7 @@ class HTriples:
         # are pathologically slow under jax.distributed / remote tunnels);
         # arbitrary coords (tests) lazily pull ONE bulk host copy
         if not c.any():
-            return h + int(np.sum(self.h_origin))
+            return h + int(np.sum(self._h_origin_np()))
         if np.array_equal(c, self.problem.final_coord):
             return h  # every suffix cube is 0 at the goal by construction
         if self._np_tabs is None:
@@ -400,6 +421,7 @@ class HTriples:
             self.problem, self.triangles, self.weight_i, device=self.device,
             tri_weights=self.tri_weights)
         self._np_tabs = None
+        self._h_org_cache = None
 
     @classmethod
     def build(cls, base: HPairHeuristic,

@@ -72,7 +72,11 @@ class ShardedSearchResult:
     nodes_reopened: int
     open_size: int
     steps: int
-    shard_stats: List[Tuple[int, int, int, int]]
+    # per-shard (expanded, reopened, closed, open, migrated)
+    shard_stats: List[Tuple[int, int, int, int, int]]
+    # candidates routed to a non-generating shard (the reference's
+    # remote-send volume, ref: pastar/PAStar.cpp:387-393)
+    nodes_migrated: int = 0
 
 
 def _route(st: _Static, ndev: int, owner, coords, keys, g_c, f_c, mask_c, valid):
@@ -210,7 +214,7 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
         t_sig = t_sig.at[jnp.where(is_owner, buck, st.nbuck), 0].set(
             sigb[0], mode="drop")
         t_best = t_best.at[jnp.where(is_owner, buck * st.ways, C)].set(
-            (root_h_arr[0] << st.nb) | ((1 << st.n) - 1), mode="drop")
+            ((root_h_arr[0] - st.f0) << st.nb) | ((1 << st.n) - 1), mode="drop")
         return t_sig, t_best, t_closed
 
     def chunk_fn(t_sig, t_best, t_closed, counters, shard_ctr,
@@ -218,16 +222,17 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
         tab = (t_sig, t_best, t_closed)
         goal0, steps0 = counters[0], counters[2]
         me = jax.lax.axis_index(AXIS)
-        exp0, reop0 = shard_ctr[me, 0], shard_ctr[me, 1]
+        exp0, reop0, migr0 = (shard_ctr[me, 0], shard_ctr[me, 1],
+                              shard_ctr[me, 4])
 
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
         def cond(carry):
-            _, _, goal_g, fmin_g, thr, steps, _, _, _, ovf, local = carry
+            _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
+            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, local = carry
             tab, coords, f_sel, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_sig(st, tab, goal_g, thr))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
@@ -235,8 +240,11 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                 tri8=tri8,
             )
             valid = valid & (f_c <= ub[0])
-            packed = (f_c << st.nb) | mask_c
+            packed = ((f_c - st.f0) << st.nb) | mask_c
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
+            # migrated = candidates owned elsewhere (the reference's
+            # remote-send count, ref: pastar/PAStar.cpp:387-393)
+            migr_ct = jnp.sum(valid & (own(child) != me))
             home, sigb = _sig_encode(st, child)
             rh, rs, rp, rvalid = _route_sig(
                 st, ndev, own, child, home, sigb, packed, valid
@@ -255,19 +263,20 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
             return (tab, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
-                    n_open_l,
+                    n_open_l, migr + migr_ct,
                     ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, z32, z32)
-        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, _ = (
+        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, migr0,
+                z32, z32)
+        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, _ = (
             jax.lax.while_loop(cond, body, init)
         )
         closed_ct = jnp.sum(tab[1] >= tab[2]).astype(jnp.int32) - jnp.sum(
             tab[1] == INFP).astype(jnp.int32)
         stats = jnp.stack([goal_g, fmin_g, steps, ovf])
         shard_stats = jax.lax.all_gather(
-            jnp.stack([expanded, reopen, closed_ct, n_open]), AXIS
+            jnp.stack([expanded, reopen, closed_ct, n_open, migr]), AXIS
         )
         return tab + (stats, shard_stats)
 
@@ -357,35 +366,37 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
         krow = jnp.concatenate([rkey, root_h_arr.astype(jnp.uint32)])
         t_key = t_key.at[wslot].set(krow, mode="drop")
         t_best = t_best.at[wslot].set(
-            (root_h_arr[0] << st.nb) | ((1 << st.n) - 1), mode="drop")
+            ((root_h_arr[0] - st.f0) << st.nb) | ((1 << st.n) - 1), mode="drop")
         return t_key, t_best, t_closed
 
     def chunk_fn(t_key, t_best, t_closed, counters, shard_ctr,
                  chunk_steps, ub, htab, henc, tri8):
         tab = (t_key, t_best, t_closed)
         goal0, steps0 = counters[0], counters[2]
-        # shard_ctr is a replicated (ndev, 4) table; each shard resumes from
+        # shard_ctr is a replicated (ndev, 5) table; each shard resumes from
         # its own row (keeps every host-side array replicated so the same
         # code drives single- and multi-process meshes)
         me = jax.lax.axis_index(AXIS)
-        exp0, reop0 = shard_ctr[me, 0], shard_ctr[me, 1]
+        exp0, reop0, migr0 = (shard_ctr[me, 0], shard_ctr[me, 1],
+                              shard_ctr[me, 4])
 
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
         def cond(carry):
-            _, _, goal_g, fmin_g, thr, steps, _, _, _, ovf, local = carry
+            _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
+            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, local = carry
             tab, coords, g, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_packed(st, tab, goal_g, thr))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
                 st, coords, g, par, active, None, htab, henc, tri8=tri8
             )
             valid = valid & (f_c <= ub[0])
-            packed = (f_c << st.nb) | mask_c
+            packed = ((f_c - st.f0) << st.nb) | mask_c
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
+            migr_ct = jnp.sum(valid & (own(child) != me))
             rk, rh, rp, rvalid = _route_packed(
                 st, ndev, own, child, keys, h_c, packed, valid
             )
@@ -403,20 +414,21 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
             return (tab, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
-                    n_open_l,
+                    n_open_l, migr + migr_ct,
                     ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, z32, z32)
-        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, _ = (
+        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, migr0,
+                z32, z32)
+        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, _ = (
             jax.lax.while_loop(cond, body, init)
         )
         closed_ct = jnp.sum(tab[1] >= tab[2]).astype(jnp.int32) - jnp.sum(
             tab[1] == INFP).astype(jnp.int32)
         stats = jnp.stack([goal_g, fmin_g, steps, ovf])
         shard_stats = jax.lax.all_gather(
-            jnp.stack([expanded, reopen, closed_ct, n_open]), AXIS
-        )  # (ndev, 4) replicated — per-tid stats table without P(AXIS) I/O
+            jnp.stack([expanded, reopen, closed_ct, n_open, migr]), AXIS
+        )  # (ndev, 5) replicated — per-tid stats table without P(AXIS) I/O
         return tab + (stats, shard_stats)
 
     spec_tab = (P(AXIS), P(AXIS), P(AXIS))
@@ -517,22 +529,24 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
                  chunk_steps, ub, htab, henc, tri8):
         tab = (t_key, t_g, t_f, t_par, t_state)
         goal0, steps0 = counters[0], counters[2]
-        exp0, reop0 = shard_ctr[0], shard_ctr[1]
+        exp0, reop0, migr0 = shard_ctr[0], shard_ctr[1], shard_ctr[4]
+        me = jax.lax.axis_index(AXIS)
 
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
         def cond(carry):
-            _, _, goal_g, fmin_g, thr, steps, _, _, _, ovf, local = carry
+            _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, local = carry
+            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, local = carry
             tab, coords, g, par, f_par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, child, _ = _expand(
                 st, coords, g, par, active, f_par, htab, henc, tri8=tri8
             )
             valid = valid & (f_c <= ub[0])  # admissible UB pruning
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
+            migr_ct = jnp.sum(valid & (own(child) != me))
             rk, rg, rf, rm, rvalid = _route(
                 st, ndev, own, child, keys, g_c, f_c, mask_c, valid
             )
@@ -551,17 +565,18 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
             return (tab, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
-                    n_open_l,
+                    n_open_l, migr + migr_ct,
                     ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, z32, z32)
-        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, ovf, _ = (
+        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, migr0,
+                z32, z32)
+        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, _ = (
             jax.lax.while_loop(cond, body, init)
         )
         closed_ct = jnp.sum(tab[4] == 2).astype(jnp.int32)
         stats = jnp.stack([goal_g, fmin_g, steps, ovf])
-        shard_stats = jnp.stack([expanded, reopen, closed_ct, n_open])  # (4,)
+        shard_stats = jnp.stack([expanded, reopen, closed_ct, n_open, migr])
         return tab + (stats, shard_stats)
 
     spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
@@ -686,7 +701,6 @@ class ShardedFrontierSearch:
             self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
         else:
             self.ub = int(INF)
-        self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
 
         # triple-wise heuristic upgrade (heuristic/triples.py), replicated
         # across the mesh like the pair tables; deterministic int32 DP, so
@@ -709,7 +723,21 @@ class ShardedFrontierSearch:
             if ht is not None:
                 self.heuristic = ht
 
-        self.st = _Static(problem, self.heuristic, batch, capacity)
+        # f-rebase eligibility (see engine._Static.f0: packed/sig store
+        # f - f0 with f0 = pairwise h(root), so only the f spread ub - f0
+        # must fit above the n parent-mask bits); large-N fallback to the
+        # exact triple h(root) as in the single-chip engine
+        from ..search.engine import _rebase_origin
+
+        budget = 1 << (31 - n)
+        f0 = _rebase_origin(self.heuristic, n)
+        if (self.ub < int(INF) and not (self.ub - f0 + 64) < budget
+                and getattr(self.heuristic, "triangles", None)):
+            f0 = int(self.heuristic.calculate_h(np.zeros(n, dtype=np.int32)))
+        self.packed = (self.ub < int(INF)
+                       and (self.ub - f0 + 64) < budget)
+
+        self.st = _Static(problem, self.heuristic, batch, capacity, f0=f0)
         if self.layout_pref != "auto":
             self.layout = self.layout_pref
             if self.layout == "sig" and not (self.packed and self.st.sig_ok):
@@ -783,9 +811,9 @@ class ShardedFrontierSearch:
         tab = self._init(self._rep(root_h))
         counters = self._rep(np.array([INF, 0, 0, 0], dtype=np.int32))
         if self.layout != "unpacked":
-            shard_ctr = self._rep(np.zeros((self.ndev, 4), dtype=np.int32))
+            shard_ctr = self._rep(np.zeros((self.ndev, 5), dtype=np.int32))
         else:
-            shard_ctr = jnp.asarray(np.zeros(self.ndev * 4, dtype=np.int32))
+            shard_ctr = jnp.asarray(np.zeros(self.ndev * 5, dtype=np.int32))
         ub_dev = self._rep(np.array([ub], dtype=np.int32))
         htab_g = self._rep(np.asarray(
             st.d_tables4 if self.layout != "unpacked" else st.d_tables))
@@ -823,7 +851,7 @@ class ShardedFrontierSearch:
             goal_v, fmin_v, steps, ovf = (int(v) for v in stats_np)
             if fmin_v >= goal_v or ovf > 0 or steps >= self.max_steps:
                 break
-        per_shard = self._read(shard_ctr).reshape(self.ndev, 4)
+        per_shard = self._read(shard_ctr).reshape(self.ndev, 5)
         expanded = int(per_shard[:, 0].sum())
         reopen = int(per_shard[:, 1].sum())
         n_open = int(per_shard[:, 3].sum())
@@ -865,4 +893,5 @@ class ShardedFrontierSearch:
             nodes_expanded=expanded, nodes_reopened=reopen,
             open_size=n_open, steps=steps,
             shard_stats=[tuple(int(v) for v in row) for row in per_shard],
+            nodes_migrated=int(per_shard[:, 4].sum()),
         )

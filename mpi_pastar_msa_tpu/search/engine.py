@@ -80,7 +80,7 @@ class _Static:
     """Per-problem static data shipped to the device once."""
 
     def __init__(self, problem: Problem, heuristic: HPairHeuristic,
-                 batch: int, capacity: int):
+                 batch: int, capacity: int, f0: Optional[int] = None):
         n = problem.n_seq
         self.n = n
         self.M = (1 << n) - 1
@@ -253,6 +253,27 @@ class _Static:
         # khi <= 25 bits keeps the stored word < 0xFFFFFFFF (the empty mark)
         self.sig_ok = (self.sig_bits <= self.bbits + 25
                        and self.bbits >= 1 and self.cbits <= 31)
+
+        # f-rebase origin: packed/sig tables store f - f0 in the f field.
+        # f0 is the PAIRWISE-ONLY h at the root — a lower bound on every
+        # reachable node's f (h_pair(root) <= h(root) <= f along any path,
+        # by consistency), so the stored field only needs bits for the f
+        # SPREAD (ub - f0: the heuristic's total slack), not the absolute
+        # f — this keeps the packed word's 31 - n f bits sufficient up to
+        # N = 16 (the reference's largest instantiated N,
+        # ref: pastar/include/max_seq_helper.h:9-20).  Defaults to the
+        # pairwise value (host-computable instantly, so nothing here blocks
+        # on the async triangle cube fill); the engines pass the tighter
+        # triple h(root) when the pairwise spread would overflow (large N).
+        self.f0 = int(f0) if f0 is not None else int(_rebase_origin(heuristic, n))
+
+
+def _rebase_origin(heuristic, n: int) -> int:
+    """f-rebase origin: pairwise-only h at the root coordinate (see
+    _Static.f0).  Uses the base pair tables directly so it never blocks on
+    an in-flight triangle cube fill."""
+    base = getattr(heuristic, "base", heuristic)
+    return int(base.calculate_h(np.zeros(n, dtype=np.int32)))
 
 
 def _pack_keys(coords: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -1420,14 +1441,14 @@ def _select_sig(st: _Static, tab, goal_g, thr):
     G = C // B
 
     is_open = t_best < t_closed
-    f_val = t_best >> nb
-    is_open = is_open & (f_val < goal_g)
+    f_val = t_best >> nb  # REBASED: stored f field is f - st.f0 (see _Static.f0)
+    is_open = is_open & (f_val < goal_g - st.f0)
     v_open = jnp.where(is_open, t_best, INFP)
     fmin_p = jnp.min(v_open)
-    fmin = fmin_p >> nb
+    fmin_r = fmin_p >> nb
     n_open = jnp.sum(is_open)
 
-    cut = (jnp.minimum(fmin + thr + 1, INFP >> nb) << nb) - 1
+    cut = (jnp.minimum(fmin_r + thr + 1, INFP >> nb) << nb) - 1
     v = jnp.where(v_open <= cut, v_open, INFP).reshape(B, G)
     j = jnp.argmin(v, axis=1)
     vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
@@ -1439,7 +1460,8 @@ def _select_sig(st: _Static, tab, goal_g, thr):
     coords = _sig_decode(
         st, slot_c, t_sig[slot_c // st.ways, slot_c % st.ways]
     )  # (B, N)
-    f_sel = vmin >> nb
+    fmin = fmin_r + st.f0
+    f_sel = (vmin >> nb) + st.f0
     par = vmin & ((1 << nb) - 1)
     reopen_ct = jnp.sum(active & (t_closed[slot_c] < INFP))
     t_closed = t_closed.at[jnp.where(active, slots, C)].set(vmin, mode="drop")
@@ -1457,14 +1479,14 @@ def _select_packed(st: _Static, tab, goal_g, thr):
     G = C // B
 
     is_open = t_best < t_closed
-    f_val = t_best >> nb
-    is_open = is_open & (f_val < goal_g)  # f >= g(goal) can't improve
+    f_val = t_best >> nb  # REBASED: stored f field is f - st.f0 (see _Static.f0)
+    is_open = is_open & (f_val < goal_g - st.f0)  # f >= g(goal) can't improve
     v_open = jnp.where(is_open, t_best, INFP)
     fmin_p = jnp.min(v_open)
-    fmin = fmin_p >> nb
+    fmin_r = fmin_p >> nb
     n_open = jnp.sum(is_open)
 
-    cut = (jnp.minimum(fmin + thr + 1, INFP >> nb) << nb) - 1
+    cut = (jnp.minimum(fmin_r + thr + 1, INFP >> nb) << nb) - 1
     v = jnp.where(v_open <= cut, v_open, INFP).reshape(B, G)
     j = jnp.argmin(v, axis=1)
     vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
@@ -1482,7 +1504,8 @@ def _select_packed(st: _Static, tab, goal_g, thr):
         axis=-1,
     )
     h_sel = rows[:, st.W].astype(jnp.int32)
-    g = (vmin >> nb) - h_sel
+    fmin = fmin_r + st.f0
+    g = (vmin >> nb) + st.f0 - h_sel
     par = vmin & ((1 << nb) - 1)
     # a previously-closed slot being re-selected is a reopen expansion
     # (ref counts reopens at enqueue, pastar/PAStar.cpp:231; counting the
@@ -1511,7 +1534,7 @@ def _expand_insert(st: _Static, tab, claim, coords, g, par, active, goal_g,
         st, coords, g, par, active, None, htab, henc, g_is_f=g_is_f,
         tri8=tri8)
     valid = valid & (f_c <= ub)
-    packed = (f_c << st.nb) | mask_c
+    packed = ((f_c - st.f0) << st.nb) | mask_c
     goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
     tab, ovf, claim = insert_fn(st, tab, *cand_fn(st, keys, child),
                                 h_c, packed, valid,
@@ -1911,23 +1934,17 @@ class TpuFrontierSearch:
 
         wi = self.heuristic.weight_i
         self.degenerate = bool((wi[~np.eye(n, dtype=bool)] <= 0).any())
-        if _O == _E and not self.degenerate:
-            # wider beams tighten the bound; on big searches every unit of UB
-            # slack admits a shell of extra open nodes, so spend more there
-            beam = 1024 if capacity >= (1 << 22) else 32
-            self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
-        else:
-            self.ub = int(INF)
-        # packed layout needs every in-flight f (< 2*UB + max edge) to fit
-        # above the n parent-mask bits of an int32
-        self.packed = self.ub < int(INF) and (2 * self.ub + 64) < (1 << (31 - n))
 
         # triple-wise heuristic upgrade (heuristic/triples.py): joint 3-seq
         # suffix cubes dominate the pairwise bound, shrinking the expanded
         # f <= f* shell — the search's work term.  "auto" enables it whenever
-        # valid (N >= 3, GapOpen == GapExtension, positive weights, cube fits)
+        # valid (N >= 3, GapOpen == GapExtension, positive weights, cube
+        # fits).  Runs FIRST: the cube fill is dispatched asynchronously, so
+        # its device time overlaps the UB beam and the step compiles below
+        # (cold-start overlap — nothing here reads the cubes back).
         self.triples = triples
         if (triples in ("auto", "on") and not self.degenerate
+                and _O == _E
                 and getattr(self.heuristic, "triangles", None) is None):
             from ..heuristic.triples import HTriples
 
@@ -1940,8 +1957,89 @@ class TpuFrontierSearch:
                     "(needs N >= 3, GapOpen == GapExtension, positive pair "
                     "weights, and an in-budget cube size)")
 
-        self.st = _Static(problem, self.heuristic, batch, capacity)
+        if _O == _E and not self.degenerate:
+            # wider beams tighten the bound; on big searches every unit of UB
+            # slack admits a shell of extra open nodes, so spend more there
+            beam = 1024 if capacity >= (1 << 22) else 32
+            self.ub = greedy_upper_bound(problem, self.heuristic, beam=beam)
+        else:
+            self.ub = int(INF)
+
+        # packed/sig layouts store f - f0 (see _Static.f0), so they need
+        # only the f SPREAD (ub - f0, the heuristic's total slack) to fit
+        # above the n parent-mask bits of an int32.  The pairwise f0 is
+        # preferred (never blocks on the cube fill); when its spread
+        # overflows (large N: pair slack grows with C(N,2)) fall back to the
+        # exact triple h(root) — that read blocks until the fill drains,
+        # which only this niche pays.
+        budget = 1 << (31 - n)
+        f0 = _rebase_origin(self.heuristic, n)
+        if (self.ub < int(INF) and not (self.ub - f0 + 64) < budget
+                and getattr(self.heuristic, "triangles", None)):
+            f0 = int(self.heuristic.calculate_h(np.zeros(n, dtype=np.int32)))
+        self.packed = (self.ub < int(INF)
+                       and (self.ub - f0 + 64) < budget)
+
+        self.st = _Static(problem, self.heuristic, batch, capacity, f0=f0)
         self._make_fns()
+        # cold-start overlap: compile the chunk driver + walk on a background
+        # thread while the triangle cube fill (dispatched above, async) runs
+        # on the device.  backend_compile releases the GIL and the artifact
+        # lands in the persistent cache, so the first real dispatch loads it.
+        # Only for big searches — small problems compile in seconds, and the
+        # extra thread would just churn short-lived test processes.
+        if capacity >= (1 << 22):
+            self._start_precompile()
+
+    def _precompile_args(self):
+        st = self.st
+        layout = self.layout
+        SD = jax.ShapeDtypeStruct
+        i32 = jnp.int32
+        if layout == "sig":
+            tab = (SD((st.nbuck, st.ways), jnp.uint32), SD((st.C,), i32),
+                   SD((st.C,), i32))
+        elif layout == "packed":
+            tab = (SD((st.C, st.KW), jnp.uint32), SD((st.C,), i32),
+                   SD((st.C,), i32))
+        else:
+            tab = (SD((st.C, st.W), jnp.uint32), SD((st.C,), i32),
+                   SD((st.C,), i32), SD((st.C,), i32), SD((st.C,), i32))
+        scalar = SD((), i32)
+        htab = self._htab_arg()
+        args = (tab, SD((7,), i32), scalar, scalar,
+                SD(htab.shape, htab.dtype),
+                SD(st.d_enc.shape, st.d_enc.dtype),
+                SD(st.d_tri8.shape, st.d_tri8.dtype))
+        walk_args = (tab, SD((st.n,), i32))
+        return args, walk_args
+
+    def _start_precompile(self) -> None:
+        import threading
+
+        args, walk_args = self._precompile_args()
+        run_loop, walk = self._run_loop, self._walk
+
+        def work():
+            try:
+                run_loop.lower(*args).compile()
+                walk.lower(*walk_args).compile()
+            except Exception:  # noqa: BLE001 - best-effort cache warm
+                pass
+
+        self._precompile_thread = threading.Thread(target=work, daemon=True)
+        self._precompile_thread.start()
+        # a daemon thread killed mid-backend_compile at interpreter exit
+        # aborts the process (C++ throw with no handler) — always join first
+        import atexit
+
+        atexit.register(self._join_precompile)
+
+    def _join_precompile(self) -> None:
+        t = getattr(self, "_precompile_thread", None)
+        if t is not None:
+            t.join()
+            self._precompile_thread = None
 
     @property
     def layout(self) -> str:
@@ -1985,7 +2083,7 @@ class TpuFrontierSearch:
         krow = np.concatenate([key, np.array([h_root], dtype=np.uint32)])
         t_key = t_key.at[h0].set(jnp.asarray(krow))
         t_best = t_best.at[h0].set(
-            np.int32((h_root << st.nb) | self.problem.root_parent_mask)
+            np.int32(((h_root - st.f0) << st.nb) | self.problem.root_parent_mask)
         )
         return (t_key, t_best, t_closed)
 
@@ -2005,7 +2103,7 @@ class TpuFrontierSearch:
         h_root = self.heuristic.calculate_h(root[0])
         t_sig = t_sig.at[buck_i, 0].set(sigb[0])  # r = 0
         t_best = t_best.at[slot_i].set(
-            np.int32((h_root << st.nb) | self.problem.root_parent_mask)
+            np.int32(((h_root - st.f0) << st.nb) | self.problem.root_parent_mask)
         )
         return (t_sig, t_best, t_closed)
 
@@ -2080,9 +2178,11 @@ class TpuFrontierSearch:
         for s in self.problem.seqs:
             h.update(s.encode())
         h.update(f"{self.st.B}:{self.st.C}:{self.st.W}:{self.layout}".encode())
-        # stored f values depend on the heuristic definition
+        # stored f values depend on the heuristic definition AND the
+        # f-rebase origin (packed/sig store f - f0)
         h.update(f":tri{getattr(self.heuristic, 'triangles', None)}"
-                 f":{getattr(self.heuristic, 'tri_weights', None)}".encode())
+                 f":{getattr(self.heuristic, 'tri_weights', None)}"
+                 f":f0{self.st.f0}".encode())
         if self.layout == "sig":
             # bucketed-sig format, v3 = 2-D (buckets, ways) t_sig
             h.update(f":w{self.st.ways}v3".encode())
@@ -2129,7 +2229,7 @@ class TpuFrontierSearch:
                     raise
                 attempts += 1
                 self.st = _Static(self.problem, self.heuristic, self.st.B,
-                                  self.st.C * 2)
+                                  self.st.C * 2, f0=self.st.f0)
                 self._make_fns()
 
     def _run_once(self) -> TpuSearchResult:
@@ -2149,6 +2249,9 @@ class TpuFrontierSearch:
             )
         if self.driver == "host":
             return self._run_host_driver(ub)
+        # wait for the background cache-warm (ctor) so the first dispatch
+        # below deserializes instead of racing a duplicate compile
+        self._join_precompile()
         tab, counters = self._load_checkpoint()
         if tab is None:
             tab = self._init_table()
@@ -2195,7 +2298,7 @@ class TpuFrontierSearch:
                 if hasattr(self.heuristic, "rebuild"):
                     self.heuristic.rebuild()  # triangle cubes live on device
                 self.st = _Static(self.problem, self.heuristic, self.st.B,
-                                  self.st.C)
+                                  self.st.C, f0=self.st.f0)
                 self._make_fns()
                 st = self.st
                 ub_dev = jnp.asarray(np.int32(ub))

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--engine", default="auto", choices=["auto", "sharded"],
+                    help="'sharded' forces ShardedFrontierSearch even at "
+                         "1 device (apples-to-apples scaling baselines)")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,7 @@ def main() -> None:
     for ndev in args.devices:
         for hash_type in args.hashes:
             for shift in args.shifts:
-                if ndev > 1:
+                if ndev > 1 or args.engine == "sharded":
                     from mpi_pastar_msa_tpu.parallel.sharded import ShardedFrontierSearch
 
                     eng = ShardedFrontierSearch(
@@ -76,9 +79,19 @@ def main() -> None:
                     "steps": res.steps,
                     "nodes_expanded": res.nodes_expanded,
                     "wall_s": [round(w, 4) for w in walls],
+                    "first_wall_s": round(walls[0], 4),  # includes compiles
                     "best_wall_s": round(min(walls), 4),
                     "nodes_per_s": round(res.nodes_expanded / min(walls)),
                 }
+                # per-shard expansion skew: the load-balance signal the
+                # reference tunes its 4 hash variants + shift for
+                # (ref: pastar/CoordHash.cpp:105-166)
+                stats = getattr(res, "shard_stats", None)
+                if stats:
+                    exp = [int(s[0]) for s in stats]
+                    rec["shard_expanded"] = exp
+                    rec["skew_max_over_mean"] = round(
+                        max(exp) / (sum(exp) / len(exp)), 4) if sum(exp) else 0.0
                 print(json.dumps(rec), file=sink, flush=True)
 
 

@@ -1,0 +1,64 @@
+"""Real-TPU smoke driver (run WITHOUT JAX_PLATFORMS=cpu).
+
+Exercises the Mosaic-sensitive paths on actual hardware: sig-table probe
+protocol, fused expand, triple-cube gathers, device backtrace, and the
+shard_map engine.  Prints TPU_ABSENT if no TPU platform is available
+(the pytest wrapper skips), else one OK line per stage.
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main() -> None:
+    import jax
+
+    try:
+        devs = [d for d in jax.devices() if d.platform != "cpu"]
+    except Exception:  # noqa: BLE001
+        devs = []
+    if not devs:
+        print("TPU_ABSENT", flush=True)
+        return
+
+    from mpi_pastar_msa_tpu.core.problem import problem_from_fasta
+    from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+    from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
+
+    # PF08184: end-to-end sig engine incl. triple cube + device walk
+    pf = problem_from_fasta("/root/reference/PF08184.fasta")
+    pf_h = HPairHeuristic.build(pf)
+    t0 = time.perf_counter()
+    eng = TpuFrontierSearch(pf, pf_h)
+    res = eng.run()
+    assert res.g == 24450, res.g
+    print(f"OK pf_sig g={res.g} layout={eng.layout} "
+          f"wall={time.perf_counter() - t0:.1f}s", flush=True)
+
+    # test2: a deeper search (reopen/width-tier paths get real traffic)
+    t2 = problem_from_fasta("/root/reference/test2.fasta")
+    t2_h = HPairHeuristic.build(t2)
+    t0 = time.perf_counter()
+    eng2 = TpuFrontierSearch(t2, t2_h)
+    res2 = eng2.run()
+    assert res2.g == 45037, res2.g
+    print(f"OK test2 g={res2.g} expanded={res2.nodes_expanded} "
+          f"wall={time.perf_counter() - t0:.1f}s", flush=True)
+
+    # sharded engine on the real chip (1-device mesh still runs the
+    # shard_map/all_to_all code path end-to-end)
+    from mpi_pastar_msa_tpu.parallel.sharded import ShardedFrontierSearch
+
+    t0 = time.perf_counter()
+    seng = ShardedFrontierSearch(pf, pf_h, devices=devs[:1])
+    sres = seng.run()
+    assert sres.g == 24450, sres.g
+    print(f"OK pf_sharded g={sres.g} wall={time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    print("TPU_SMOKE_PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""Real-TPU hardware lane (VERDICT r1 item 7).
+
+The main suite pins JAX to a virtual CPU mesh (tests/conftest.py), so a
+Mosaic/layout regression in the sig probe or expand kernels would only
+surface in the bench.  This lane re-runs the Mosaic-sensitive paths on the
+actual chip in a subprocess (clean env, no platform pin); it SKIPS cleanly
+when no TPU is attached.
+
+Run explicitly with:  python -m pytest tests/test_tpu_hardware.py -m tpu
+(bench.py runs the same driver first as its sanity gate).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_tpu_smoke():
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "tpu_smoke.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    text = out.stdout + out.stderr
+    if "TPU_ABSENT" in out.stdout:
+        pytest.skip("no TPU platform available")
+    assert out.returncode == 0, text[-3000:]
+    assert "TPU_SMOKE_PASS" in out.stdout, text[-3000:]
