@@ -126,6 +126,28 @@ def main() -> None:
     extra["kinase_native_wall_s"] = round(k_native_wall, 2)
     extra["kinase_native_nodes_per_sec"] = round(knr.nodes_expanded / k_native_wall)
 
+    # honest apples-to-apples: the reference is multithreaded
+    # (hardware_concurrency() workers, ref: pastar/PAStar.cpp:643-654) —
+    # run the shared-memory HDA* engine with this host's core count and
+    # baseline against the BEST native configuration.
+    k_best_native = k_native_wall
+    try:
+        mt_threads = min(os.cpu_count() or 1, 16)
+        if mt_threads > 1:
+            kmt = NativeAStar(kin, kin_h, init_capacity=1 << 22,
+                              threads=mt_threads)
+            t0 = time.perf_counter()
+            kmr = kmt.run()
+            k_mt_wall = time.perf_counter() - t0
+            assert kmr.g == KINASE_G
+            extra["kinase_native_mt_wall_s"] = round(k_mt_wall, 2)
+            extra["kinase_native_mt_threads"] = mt_threads
+            extra["kinase_native_mt_nodes_per_sec"] = round(
+                kmr.nodes_expanded / k_mt_wall)
+            k_best_native = min(k_best_native, k_mt_wall)
+    except Exception as e:  # noqa: BLE001
+        print(f"kinase mt bench failed ({e})", file=sys.stderr)
+
     k_tpu_wall = None
     try:
         if not tpu_ok:
@@ -154,7 +176,9 @@ def main() -> None:
             "metric": "kinase_wallclock_to_optimal_tpu",
             "value": round(k_tpu_wall, 2),
             "unit": "s",
-            "vs_baseline": round(k_native_wall / k_tpu_wall, 3),
+            # vs the BEST native config (serial or hardware_concurrency
+            # multithreaded HDA*) — the honest reference analogue
+            "vs_baseline": round(k_best_native / k_tpu_wall, 3),
             "extra": extra,
         }))
     elif pf_tpu_wall is not None:

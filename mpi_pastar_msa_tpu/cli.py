@@ -118,8 +118,11 @@ def run(argv=None) -> int:
     elif engine == "native":
         from .search.native import NativeAStar
 
+        # -t > 1 selects the shared-memory HDA* engine — the reference's
+        # thread model (ref: pastar/PAStar.cpp:643-654) run natively
         with TimeCounter("Phase 2: A-Star running time: ") as t2:
-            res = NativeAStar(problem, heuristic).run()
+            res = NativeAStar(problem, heuristic,
+                              threads=max(1, args.threads)).run()
         closed = res.closed
         stats = [(res.nodes_expanded, res.nodes_reopened, len(res.closed), res.open_size)]
     else:

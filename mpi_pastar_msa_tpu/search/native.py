@@ -22,7 +22,10 @@ from ..heuristic.hpair import HPairHeuristic
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
                     "native", "fast_astar.c")
 _LIB = os.path.join(os.path.dirname(_SRC), "libfastastar.so")
+_SRC_MT = os.path.join(os.path.dirname(_SRC), "fast_astar_mt.c")
+_LIB_MT = os.path.join(os.path.dirname(_SRC), "libfastastar_mt.so")
 _lib_handle = None
+_lib_mt_handle = None
 
 
 def _build_lib() -> str:
@@ -32,6 +35,17 @@ def _build_lib() -> str:
             check=True,
         )
     return _LIB
+
+
+def _build_lib_mt() -> str:
+    newest = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_MT))
+    if not os.path.exists(_LIB_MT) or os.path.getmtime(_LIB_MT) < newest:
+        subprocess.run(
+            ["gcc", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             _SRC_MT, "-o", _LIB_MT],
+            check=True,
+        )
+    return _LIB_MT
 
 
 def _get_lib():
@@ -58,6 +72,34 @@ def _get_lib():
     return _lib_handle
 
 
+def _get_lib_mt():
+    """Multithreaded HDA* engine (native/fast_astar_mt.c) — the honest
+    analogue of the reference's hardware_concurrency() worker pool
+    (ref: pastar/PAStar.cpp:643-654)."""
+    global _lib_mt_handle
+    if _lib_mt_handle is None:
+        lib = ctypes.CDLL(_build_lib_mt())
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.astar_search_mt.restype = ctypes.c_int64
+        lib.astar_search_mt.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,            # n, n_pairs, W
+            ctypes.POINTER(ctypes.c_uint16),                     # final
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,        # seqs, stride
+            i32p,                                                # cost_table
+            i32p, i32p, i32p,                                    # pair x/y/w
+            i32p, ctypes.c_int,                                  # tables, S
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,            # gaps
+            ctypes.c_int,                                        # root parenti
+            ctypes.c_uint32,                                     # init_cap
+            ctypes.c_int, ctypes.c_int,                          # threads, shift
+            i32p, i32p,                                          # out g/h
+            i32p, i32p,                                          # out masks/len
+            ctypes.POINTER(ctypes.c_int64),                      # out stats
+        ]
+        _lib_mt_handle = lib
+    return _lib_mt_handle
+
+
 @dataclass
 class NativeResult:
     g: int
@@ -71,11 +113,19 @@ class NativeResult:
 
 
 class NativeAStar:
+    """threads=1 → serial engine; threads>1 → shared-memory HDA* with
+    per-worker open/closed shards and a sum-hash owner function, matching
+    the reference's thread architecture (ref: pastar/PAStar.cpp:91-101,
+    643-654; pastar/CoordHash.cpp:38-44)."""
+
     def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
-                 init_capacity: int = 1 << 16):
+                 init_capacity: int = 1 << 16, threads: int = 1,
+                 hash_shift: int = 0):
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
         self.init_capacity = init_capacity
+        self.threads = max(1, int(threads))
+        self.hash_shift = hash_shift
 
     def run(self) -> NativeResult:
         p = self.problem
@@ -110,20 +160,38 @@ class NativeAStar:
             return a.ctypes.data_as(ctypes.POINTER(t))
 
         enc_c = np.ascontiguousarray(enc)
-        rc = lib.astar_search(
-            n, P, W,
-            ptr(final, ctypes.c_uint16),
-            ptr(enc_c, ctypes.c_uint8), lmax + 1,
-            ptr(cost_tab, ctypes.c_int32),
-            ptr(px, ctypes.c_int32), ptr(py, ctypes.c_int32), ptr(pw, ctypes.c_int32),
-            ptr(stacked, ctypes.c_int32), S,
-            GAP_OPEN, GAP_EXTENSION, GAP_GAP,
-            p.root_parent_mask,
-            self.init_capacity,
-            ptr(out_g, ctypes.c_int32), ptr(out_h, ctypes.c_int32),
-            ptr(out_masks, ctypes.c_int32), ptr(out_len, ctypes.c_int32),
-            ptr(out_stats, ctypes.c_int64),
-        )
+        if self.threads > 1:
+            mt = _get_lib_mt()
+            rc = mt.astar_search_mt(
+                n, P, W,
+                ptr(final, ctypes.c_uint16),
+                ptr(enc_c, ctypes.c_uint8), lmax + 1,
+                ptr(cost_tab, ctypes.c_int32),
+                ptr(px, ctypes.c_int32), ptr(py, ctypes.c_int32), ptr(pw, ctypes.c_int32),
+                ptr(stacked, ctypes.c_int32), S,
+                GAP_OPEN, GAP_EXTENSION, GAP_GAP,
+                p.root_parent_mask,
+                self.init_capacity,
+                self.threads, self.hash_shift,
+                ptr(out_g, ctypes.c_int32), ptr(out_h, ctypes.c_int32),
+                ptr(out_masks, ctypes.c_int32), ptr(out_len, ctypes.c_int32),
+                ptr(out_stats, ctypes.c_int64),
+            )
+        else:
+            rc = lib.astar_search(
+                n, P, W,
+                ptr(final, ctypes.c_uint16),
+                ptr(enc_c, ctypes.c_uint8), lmax + 1,
+                ptr(cost_tab, ctypes.c_int32),
+                ptr(px, ctypes.c_int32), ptr(py, ctypes.c_int32), ptr(pw, ctypes.c_int32),
+                ptr(stacked, ctypes.c_int32), S,
+                GAP_OPEN, GAP_EXTENSION, GAP_GAP,
+                p.root_parent_mask,
+                self.init_capacity,
+                ptr(out_g, ctypes.c_int32), ptr(out_h, ctypes.c_int32),
+                ptr(out_masks, ctypes.c_int32), ptr(out_len, ctypes.c_int32),
+                ptr(out_stats, ctypes.c_int64),
+            )
         if rc == -2:
             raise RuntimeError("open list exhausted without reaching the goal")
         if rc != 0:
