@@ -63,8 +63,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="hash-table capacity (default: auto)")
     ap.add_argument("--chunk", type=int, default=64,
                     help="super-steps per device dispatch")
-    ap.add_argument("--triples", choices=("auto", "on", "off"), default="auto",
-                    help="triple-wise heuristic cubes (auto: when applicable)")
+    ap.add_argument("--triples", choices=("auto", "on", "off", "fractional"),
+                    default="auto",
+                    help="triple-wise heuristic cubes (auto: when applicable;"
+                         " fractional: all-triples cover with (n-2)-scaled"
+                         " costs, single-chip engine only)")
     ap.add_argument("--checkpoint", metavar="PATH", default=None,
                     help="periodically checkpoint the search state; resumes "
                          "automatically if PATH exists for the same problem")
@@ -141,7 +144,10 @@ def run(argv=None) -> int:
                 devs = all_devs[:n_dev]
                 if args.triples == "off":
                     heuristic = getattr(heuristic, "base", heuristic)
-                elif args.triples == "on" and not hasattr(heuristic, "triangles"):
+                elif (args.triples in ("on", "fractional")
+                      and not hasattr(heuristic, "triangles")):
+                    # sharded engine has no scaled-cost descale path yet:
+                    # 'fractional' degrades to the cherry cover here
                     from .heuristic.triples import HTriples
 
                     ht = HTriples.build(heuristic, device=devs[0])

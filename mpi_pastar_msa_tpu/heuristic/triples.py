@@ -127,6 +127,33 @@ def pick_cover(weight_i: np.ndarray, n: int,
     return out
 
 
+def pick_fractional_cover(weight_i: np.ndarray, n: int
+                          ) -> List[Tuple[Tuple[int, int, int], Tuple[int, int, int]]]:
+    """All-triples fractional cover: EVERY triangle of K_n gets each of its
+    pairs at the pair's full weight, and all edge costs (and hence g) are
+    scaled by ``n - 2``.
+
+    Each pair (a, b) lies in exactly n-2 triangles, so the per-cube shares
+    sum to (n-2)*w_ab — the classic "sum over all triples divided by (n-2)"
+    MSA lower bound, realized with integer arithmetic by scaling the whole
+    cost algebra instead of dividing the bound.  Admissible for the scaled
+    search: projecting any remaining N-path onto each triangle costs at
+    least that cube's DP minimum, and summing over all cubes counts every
+    pair exactly n-2 times.  Consistent by the same per-move argument as the
+    cherry cover (module docstring).  Dominates (n-2) x the pairwise bound
+    cube-by-cube, and couples every pair with ALL of its third partners
+    rather than the single partner the cherry cover picks.
+    """
+    out = []
+    for x in range(n):
+        for y in range(x + 1, n):
+            for z in range(y + 1, n):
+                out.append(((x, y, z),
+                            (int(weight_i[x, y]), int(weight_i[x, z]),
+                             int(weight_i[y, z]))))
+    return out
+
+
 def triple_suffix_table_host(sx: str, sy: str, sz: str,
                              wxy: int, wxz: int, wyz: int) -> np.ndarray:
     """Reference-style host oracle: (Lx+1, Ly+1, Lz+1) int64 suffix DP.
@@ -326,6 +353,9 @@ class HTriples:
     tri_weights: Optional[List[Tuple[int, int, int]]] = None  # per-cube pair weights
     device: object = None  # build device (None = default backend)
     h_origin: object = None  # (T,) device int32 cube values at the origin
+    # fractional all-triples cover scales the whole cost algebra by n-2
+    # (see pick_fractional_cover); engines divide reported g by this
+    cost_scale: int = 1
     _np_tabs: object = field(default=None, repr=False)  # lazy host copy
     _h_org_cache: object = field(default=None, repr=False)  # lazy host copy
 
@@ -340,7 +370,10 @@ class HTriples:
 
     @property
     def weight_i(self) -> np.ndarray:
-        return self.base.weight_i
+        # scaled surface: under the fractional cover every consumer of the
+        # pair weights (edge costs, UB beam, path-g reconstruction) must
+        # work in (n-2)-scaled units so g and h stay commensurate
+        return self.base.weight_i * self.cost_scale
 
     @property
     def weight_f(self) -> np.ndarray:
@@ -353,7 +386,7 @@ class HTriples:
         return self.base.stacked_tables()
 
     def pair_weights_i(self) -> np.ndarray:
-        return self.base.pair_weights_i()
+        return (self.base.pair_weights_i() * self.cost_scale).astype(np.int32)
 
     # --- triple-aware pieces ----------------------------------------------
     def _weights(self) -> List[Tuple[int, int, int]]:
@@ -427,8 +460,12 @@ class HTriples:
     def build(cls, base: HPairHeuristic,
               max_triangles: Optional[int] = None,
               budget_bytes: int = 6 << 30,
-              device=None) -> Optional["HTriples"]:
+              device=None, fractional: bool = False) -> Optional["HTriples"]:
         """Wrap ``base`` with as many greedy triangles as the budget allows.
+
+        ``fractional=True`` uses the all-triples cover with (n-2)-scaled
+        costs (pick_fractional_cover) when all C(n,3) cubes fit the budget;
+        otherwise it silently falls back to the cherry cover.
 
         Returns None when triples are not applicable (N < 3, affine gap
         split, degenerate weights, or the cube would not fit the budget).
@@ -448,7 +485,14 @@ class HTriples:
             cap = min(cap, max_triangles)
         if cap <= 0:
             return None
-        cover = pick_cover(wi, n, max_triangles=cap)
+        scale = 1
+        cover = None
+        if fractional and n >= 4:
+            frac = pick_fractional_cover(wi, n)
+            if len(frac) <= cap:
+                cover, scale = frac, n - 2
+        if cover is None:
+            cover = pick_cover(wi, n, max_triangles=cap)
         if not cover:
             return None
         tris = [t for t, _ in cover]
@@ -456,4 +500,4 @@ class HTriples:
         tabs, h_origin = triple_tables_device(problem, tris, wi, device=device,
                                               tri_weights=tws)
         return cls(base=base, triangles=tris, tri_tabs=tabs, tri_weights=tws,
-                   device=device, h_origin=h_origin)
+                   device=device, h_origin=h_origin, cost_scale=scale)

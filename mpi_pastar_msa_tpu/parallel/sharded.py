@@ -664,6 +664,11 @@ class ShardedFrontierSearch:
         self.layout_pref = layout
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
+        if getattr(self.heuristic, "cost_scale", 1) != 1:
+            raise ValueError(
+                "fractional (scaled-cost) triple covers are single-chip "
+                "only for now; pass the cherry-cover HTriples or the base "
+                "heuristic to the sharded engine")
         if devices is None:
             devices = jax.devices()
         self.devices = list(devices)

@@ -271,9 +271,11 @@ class _Static:
 def _rebase_origin(heuristic, n: int) -> int:
     """f-rebase origin: pairwise-only h at the root coordinate (see
     _Static.f0).  Uses the base pair tables directly so it never blocks on
-    an in-flight triangle cube fill."""
+    an in-flight triangle cube fill; scaled by cost_scale so it stays a
+    lower bound in the fractional cover's (n-2)-scaled cost units."""
     base = getattr(heuristic, "base", heuristic)
-    return int(base.calculate_h(np.zeros(n, dtype=np.int32)))
+    scale = getattr(heuristic, "cost_scale", 1)
+    return int(base.calculate_h(np.zeros(n, dtype=np.int32))) * scale
 
 
 def _pack_keys(coords: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -1943,19 +1945,25 @@ class TpuFrontierSearch:
         # its device time overlaps the UB beam and the step compiles below
         # (cold-start overlap — nothing here reads the cubes back).
         self.triples = triples
-        if (triples in ("auto", "on") and not self.degenerate
+        if (triples in ("auto", "on", "fractional") and not self.degenerate
                 and _O == _E
                 and getattr(self.heuristic, "triangles", None) is None):
             from ..heuristic.triples import HTriples
 
-            ht = HTriples.build(self.heuristic)
+            # fractional: all C(n,3) cubes with (n-2)-scaled costs — a
+            # tighter bound than the cherry cover when the cubes fit
+            # (needs the larger budget: C(n,3) cubes instead of ~n/2)
+            ht = (HTriples.build(self.heuristic, fractional=True,
+                                 budget_bytes=10 << 30)
+                  if triples == "fractional"
+                  else HTriples.build(self.heuristic))
             if ht is not None:
                 self.heuristic = ht
-            elif triples == "on":
+            elif triples in ("on", "fractional"):
                 raise ValueError(
-                    "triples='on' but the triple heuristic is not applicable "
-                    "(needs N >= 3, GapOpen == GapExtension, positive pair "
-                    "weights, and an in-budget cube size)")
+                    f"triples='{triples}' but the triple heuristic is not "
+                    "applicable (needs N >= 3, GapOpen == GapExtension, "
+                    "positive pair weights, and an in-budget cube size)")
 
         if _O == _E and not self.degenerate:
             # wider beams tighten the bound; on big searches every unit of UB
@@ -2223,7 +2231,22 @@ class TpuFrontierSearch:
         attempts = 0
         while True:
             try:
-                return self._run_once()
+                res = self._run_once()
+                scale = getattr(self.heuristic, "cost_scale", 1)
+                if scale > 1:
+                    # fractional cover ran the whole search in (n-2)-scaled
+                    # cost units; every path cost is divisible by the scale
+                    res = TpuSearchResult(
+                        g=res.g // scale, h=res.h // scale,
+                        f=res.f // scale,
+                        closed={c: (g // scale, m)
+                                for c, (g, m) in res.closed.items()},
+                        nodes_expanded=res.nodes_expanded,
+                        nodes_reopened=res.nodes_reopened,
+                        open_size=res.open_size, steps=res.steps,
+                        shard_stats=res.shard_stats,
+                    )
+                return res
             except RuntimeError as e:
                 if "overflow" not in str(e) or attempts >= 2 or self.st.C >= (1 << 26):
                     raise
