@@ -5,16 +5,18 @@ Prints ONE JSON line:
 
 Headline: kinase.fasta (the only bundled input with a non-trivial search:
 4.5M+ node expansions) — wall-clock for the TPU frontier engine to the
-provably optimal cost, vs the native C serial engine on the host CPU (this
-repo's reference-semantics baseline; the reference binary itself is not
-buildable here — MPI/Boost/LZ4 absent, see BASELINE.md).  vs_baseline > 1
-means the TPU engine is faster.
+provably optimal cost, vs the BEST native-C configuration on the host CPU
+(serial or hardware_concurrency-threaded HDA*; the reference binary itself
+is not buildable here — MPI/Boost/LZ4 absent, see BASELINE.md).
+vs_baseline > 1 means the TPU engine is faster.
 
-PF08184 numbers ride along in "extra" (that search is 59 expansions — pure
-dispatch latency on a remote TPU, meaningless as a chip benchmark).
-
-Robustness: remote-TPU tunnel failures degrade to smaller scopes so the
-driver always gets its JSON line.
+Robustness (the round-2 lesson): the tunneled TPU backend has minutes-long
+availability blackouts in which device discovery works but any dispatch
+hangs.  Every TPU interaction therefore runs in a subprocess with its own
+deadline, cheap trivial-op probes decide when to (re)try, attempts are
+spread across the bench so a blackout window can pass, and every attempt's
+outcome + last-reached stage lands in "extra" so a missing number is
+attributable from the artifact alone.
 """
 import json
 import os
@@ -28,31 +30,104 @@ KINASE = "/root/reference/kinase.fasta"
 KINASE_G = 421546
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("MSA_BENCH_BUDGET_S", "3600"))
 
-def _tpu_smoke(extra: dict) -> bool:
-    """Run the hardware sanity lane first (tests/test_tpu_hardware.py uses
-    the same driver): catches Mosaic/layout regressions in seconds instead
-    of mid-way through a multi-minute kinase search."""
+
+def _elapsed() -> float:
+    return time.perf_counter() - T_START
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _run_script(script: str, timeout: float, env=None):
+    """Run scripts/<script> in a subprocess; returns (status, output, wall).
+    status: 'ok' (rc 0), 'fail', or 'timeout'.  On timeout the partial
+    stdout/stderr captured so far is returned for stage attribution."""
     t0 = time.perf_counter()
     try:
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "tpu_smoke.py")],
-            capture_output=True, text=True, timeout=900,
-        )
+            [sys.executable, os.path.join(REPO, "scripts", script)],
+            capture_output=True, text=True, timeout=timeout, env=env)
+        status = "ok" if out.returncode == 0 else "fail"
+        text = (out.stdout or "") + (out.stderr or "")
+    except subprocess.TimeoutExpired as e:
+        status = "timeout"
+        text = ""
+        for part in (e.stdout, e.stderr):
+            if part:
+                text += part.decode() if isinstance(part, bytes) else part
     except Exception as e:  # noqa: BLE001
-        extra["tpu_smoke"] = f"error: {e}"
-        return False
-    extra["tpu_smoke_wall_s"] = round(time.perf_counter() - t0, 1)
-    if "TPU_ABSENT" in out.stdout:
-        extra["tpu_smoke"] = "absent"
-        return False
-    ok = out.returncode == 0 and "TPU_SMOKE_PASS" in out.stdout
-    extra["tpu_smoke"] = "pass" if ok else (
-        "FAIL: " + (out.stdout + out.stderr)[-500:])
+        status = "error"
+        text = str(e)
+    return status, text, time.perf_counter() - t0
+
+
+def _last_stage(text: str) -> str:
+    stage = ""
+    for line in text.splitlines():
+        if line.startswith("STAGE "):
+            stage = line[6:]
+    return stage
+
+
+def _probe(extra: dict, timeout: float = 90) -> str:
+    """Trivial-op health probe.  Returns 'ok' | 'absent' | 'blackout'."""
+    status, text, wall = _run_script("tpu_probe.py", timeout)
+    rec = {"t": round(_elapsed()), "wall_s": round(wall, 1), "status": status}
+    if "TPU_ABSENT" in text:
+        rec["status"] = "absent"
+    elif status == "ok" and "TPU_PROBE_OK" in text:
+        for tok in text.split():
+            if tok.startswith("wall="):
+                rec["op_wall_s"] = float(tok[5:])
+    elif status == "timeout":
+        rec["status"] = "blackout"
+    extra.setdefault("probes", []).append(rec)
+    return rec["status"]
+
+
+def _smoke(extra: dict, timeout: float) -> bool:
+    status, text, wall = _run_script("tpu_smoke.py", timeout)
+    ok = status == "ok" and "TPU_SMOKE_PASS" in text
+    rec = {"t": round(_elapsed()), "wall_s": round(wall, 1),
+           "status": "pass" if ok else status,
+           "last_stage": _last_stage(text)}
+    if not ok:
+        rec["tail"] = text[-400:]
+    for line in text.splitlines():  # pf wall rides along for the fallback row
+        if line.startswith("OK pf_sig"):
+            for tok in line.split():
+                if tok.startswith("wall="):
+                    extra["pf_tpu_smoke_wall_s"] = float(tok[5:].rstrip("s"))
+    extra.setdefault("smoke_attempts", []).append(rec)
     return ok
 
 
-def _cold_kinase(extra: dict) -> None:
+def _kinase_tpu(extra: dict, timeout: float):
+    """Returns (wall_s, nodes) or None."""
+    status, text, wall = _run_script("bench_kinase_tpu.py", timeout)
+    rec = {"t": round(_elapsed()), "wall_s": round(wall, 1), "status": status,
+           "last_stage": _last_stage(text)}
+    result = None
+    for line in text.splitlines():
+        if line.startswith("KINASE_TPU"):
+            kv = dict(tok.split("=") for tok in line.split()[1:])
+            result = (float(kv["wall"]), int(kv["nodes"]))
+            extra["kinase_triple_cubes"] = int(kv.get("cubes", 0))
+        elif line.startswith("OK warmup"):
+            for tok in line.split():
+                if tok.startswith("wall="):
+                    extra["kinase_tpu_warmup_wall_s"] = float(tok[5:].rstrip("s"))
+    if result is None and status != "timeout":
+        rec["tail"] = text[-400:]
+    extra.setdefault("kinase_tpu_attempts", []).append(rec)
+    return result
+
+
+def _cold_kinase(extra: dict, timeout: float) -> None:
     """One-shot cold run: fresh process + empty compilation cache — the
     honest analogue of the reference's single-shot TimeCounter phases
     (ref: pastar/HeuristicHPair.cpp:49, pastar/PAStar.cpp:640)."""
@@ -60,27 +135,22 @@ def _cold_kinase(extra: dict) -> None:
 
     with tempfile.TemporaryDirectory() as td:
         env = dict(os.environ, MSA_PASTAR_JAX_CACHE=td)
-        code = (
-            "import sys, time; sys.path.insert(0, %r);"
-            "from mpi_pastar_msa_tpu.core.problem import problem_from_fasta;"
-            "from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch;"
-            "p = problem_from_fasta(%r); t0 = time.perf_counter();"
-            "r = TpuFrontierSearch(p).run();"
-            "assert r.g == %d, r.g;"
-            "print('COLD_WALL', time.perf_counter() - t0)"
-        ) % (REPO, KINASE, KINASE_G)
-        t0 = time.perf_counter()
-        try:
-            out = subprocess.run([sys.executable, "-c", code],
-                                 capture_output=True, text=True, timeout=900,
-                                 env=env)
-            for line in out.stdout.splitlines():
-                if line.startswith("COLD_WALL"):
-                    extra["kinase_tpu_cold_wall_s"] = round(float(line.split()[1]), 1)
-                    return
-            extra["kinase_tpu_cold"] = "FAIL: " + (out.stdout + out.stderr)[-300:]
-        except subprocess.TimeoutExpired:
-            extra["kinase_tpu_cold"] = f"timeout {round(time.perf_counter() - t0)}s"
+        status, text, wall = _run_script("bench_kinase_tpu.py", timeout, env=env)
+        rec = {"t": round(_elapsed()), "wall_s": round(wall, 1),
+               "status": status, "last_stage": _last_stage(text)}
+        extra.setdefault("kinase_cold_attempts", []).append(rec)
+        # cold wall = build + warmup run (fresh process, empty cache): the
+        # single-shot "time to first optimal alignment" number
+        walls = {}
+        for line in text.splitlines():
+            for key in ("build", "warmup"):
+                if line.startswith(f"OK {key}"):
+                    for tok in line.split():
+                        if tok.startswith("wall="):
+                            walls[key] = float(tok[5:].rstrip("s"))
+        if "warmup" in walls:
+            extra["kinase_tpu_cold_wall_s"] = round(
+                walls.get("build", 0.0) + walls["warmup"], 1)
 
 
 def main() -> None:
@@ -88,10 +158,16 @@ def main() -> None:
     from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
     from mpi_pastar_msa_tpu.search.native import NativeAStar
 
-    extra = {}
-    tpu_ok = _tpu_smoke(extra)
+    extra = {"budget_s": BUDGET_S}
 
-    # --- PF08184: correctness + small-input numbers -----------------------
+    # --- attempt 1: probe, then smoke (compile-cached: minutes only if the
+    # .jax_cache was wiped) -------------------------------------------------
+    tpu_state = _probe(extra)
+    smoke_ok = False
+    if tpu_state == "ok":
+        smoke_ok = _smoke(extra, timeout=min(600, max(_remaining() - 1500, 120)))
+
+    # --- native baselines (always succeed; also let a blackout pass) ------
     pf = problem_from_fasta(PF)
     pf_h = HPairHeuristic.build(pf)
     nat = NativeAStar(pf, pf_h)
@@ -100,22 +176,6 @@ def main() -> None:
     assert nat.run().g == PF_G
     extra["pf_native_wall_s"] = round(time.perf_counter() - t0, 4)
 
-    pf_tpu_wall = None
-    try:
-        if not tpu_ok:
-            raise RuntimeError(f"tpu smoke gate: {extra.get('tpu_smoke')}")
-        from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
-
-        eng = TpuFrontierSearch(pf, pf_h)
-        assert eng.run().g == PF_G
-        t0 = time.perf_counter()
-        r = eng.run()
-        pf_tpu_wall = time.perf_counter() - t0
-        extra["pf_tpu_wall_s"] = round(pf_tpu_wall, 4)
-    except Exception as e:  # noqa: BLE001
-        print(f"pf tpu bench failed ({e})", file=sys.stderr)
-
-    # --- kinase: the real search ------------------------------------------
     kin = problem_from_fasta(KINASE)
     kin_h = HPairHeuristic.build(kin)
     knat = NativeAStar(kin, kin_h, init_capacity=1 << 22)
@@ -148,30 +208,35 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"kinase mt bench failed ({e})", file=sys.stderr)
 
-    k_tpu_wall = None
-    try:
-        if not tpu_ok:
-            raise RuntimeError(f"tpu smoke gate: {extra.get('tpu_smoke')}")
-        from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
+    # --- attempt 2 (post-baselines; a blackout window has had 2-3 min) ----
+    if tpu_state != "absent" and not smoke_ok and _remaining() > 700:
+        if _probe(extra) == "ok":
+            smoke_ok = _smoke(extra, timeout=min(600, _remaining() - 600))
 
-        keng = TpuFrontierSearch(kin, kin_h, capacity=1 << 24, batch=16384,
-                                 chunk_steps=64)
-        kr = keng.run()  # includes compile (persistent-cached across runs)
-        assert kr.g == KINASE_G
-        t0 = time.perf_counter()
-        kr = keng.run()
-        k_tpu_wall = time.perf_counter() - t0
-        extra["kinase_tpu_nodes_per_sec"] = round(kr.nodes_expanded / k_tpu_wall)
-        extra["kinase_tpu_nodes_expanded"] = kr.nodes_expanded
-        extra["kinase_triple_cubes"] = len(
-            getattr(keng.heuristic, "triangles", []) or [])
-    except Exception as e:  # noqa: BLE001
-        print(f"kinase tpu bench failed ({e})", file=sys.stderr)
+    # --- kinase TPU lane: try whenever the backend answers the probe.
+    # A smoke pass is the preferred gate, but a smoke lost to a blackout
+    # (timeout) must not forfeit the headline number if the backend has
+    # since recovered. ------------------------------------------------------
+    k_tpu = None
+    if tpu_state != "absent":
+        attempts = 0
+        while k_tpu is None and attempts < 3 and _remaining() > 400:
+            attempts += 1
+            probe = _probe(extra)
+            if probe == "absent":
+                break
+            if probe != "ok":
+                time.sleep(min(60, max(0, _remaining() - 400)))
+                continue
+            k_tpu = _kinase_tpu(extra, timeout=min(900, _remaining() - 120))
+        if k_tpu is not None and _remaining() > 500:
+            _cold_kinase(extra, timeout=min(900, _remaining() - 60))
 
-    if tpu_ok:
-        _cold_kinase(extra)
-
-    if k_tpu_wall is not None:
+    extra["bench_wall_s"] = round(_elapsed(), 1)
+    if k_tpu is not None:
+        k_tpu_wall, k_tpu_nodes = k_tpu
+        extra["kinase_tpu_nodes_per_sec"] = round(k_tpu_nodes / k_tpu_wall)
+        extra["kinase_tpu_nodes_expanded"] = k_tpu_nodes
         print(json.dumps({
             "metric": "kinase_wallclock_to_optimal_tpu",
             "value": round(k_tpu_wall, 2),
@@ -181,12 +246,13 @@ def main() -> None:
             "vs_baseline": round(k_best_native / k_tpu_wall, 3),
             "extra": extra,
         }))
-    elif pf_tpu_wall is not None:
+    elif extra.get("pf_tpu_smoke_wall_s"):
+        pf_wall = extra["pf_tpu_smoke_wall_s"]
         print(json.dumps({
             "metric": "pf08184_wallclock_to_optimal_tpu",
-            "value": round(pf_tpu_wall, 4),
+            "value": round(pf_wall, 4),
             "unit": "s",
-            "vs_baseline": round(extra["pf_native_wall_s"] / pf_tpu_wall, 4),
+            "vs_baseline": round(extra["pf_native_wall_s"] / pf_wall, 4),
             "extra": extra,
         }))
     else:

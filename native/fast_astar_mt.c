@@ -99,7 +99,8 @@ typedef struct {
 
 typedef struct {
     Msg *items;
-    uint32_t len, cap;
+    _Atomic uint32_t len; /* atomic: read lock-free in the idle wait loop */
+    uint32_t cap;
     pthread_mutex_t mu;
 } Inbox;
 
@@ -144,7 +145,7 @@ struct MtShared {
     pthread_mutex_t term_mu;
     pthread_cond_t term_cv;
     int idle_count;
-    int done;
+    _Atomic int done; /* atomic: also polled lock-free in the f-gated branch */
 };
 
 static inline int mt_owner(const uint16_t *coord, int n, int shift, int T)
@@ -314,7 +315,10 @@ static void *mt_worker_main(void *arg)
             /* f-gated: real work remains but another shard holds the
                global min — flush so it sees our successors, then poll.
                Must NOT enter the termination consensus (we are not
-               quiescent). */
+               quiescent).  Do check done: a worker that OOMs mid-run
+               sets done without raising its cur_min_f past our f, and
+               without this check we would spin here forever. */
+            if (atomic_load_explicit(&sh->done, memory_order_acquire)) break;
             if (mt_flush_all(w)) { w->oom = 1; break; }
             struct timespec ts = {0, 20000}; /* 20 us */
             nanosleep(&ts, NULL);
@@ -331,8 +335,14 @@ static void *mt_worker_main(void *arg)
                 if (sh->done) break;
                 int64_t sent = atomic_load(&sh->sent);
                 int64_t recvd = atomic_load(&sh->recvd);
-                int inbox_nonempty = w->inbox.len > 0; /* racy read: benign,
-                    a false 0 is caught by sent!=recvd below */
+                /* lock-free atomic read; ordered by mt_wake's term_mu
+                   acquire/release (the producer bumps len, then takes
+                   term_mu to broadcast — our cond_wait reacquiring
+                   term_mu gives the happens-before edge that makes the
+                   refreshed len visible on the next loop iteration) */
+                int inbox_nonempty =
+                    atomic_load_explicit(&w->inbox.len,
+                                         memory_order_acquire) > 0;
                 if (inbox_nonempty) break;
                 if (sh->idle_count == sh->T && sent == recvd) {
                     sh->done = 1;
@@ -446,6 +456,10 @@ static void *mt_worker_main(void *arg)
     }
 out:
     if (w->oom) { /* unblock everyone */
+        /* publish "no work here" first so f-gated peers can't keep
+           waiting on our stale (lower) min after we vanish */
+        atomic_store_explicit(&w->cur_min_f, INT32_MAX,
+                              memory_order_release);
         pthread_mutex_lock(&sh->term_mu);
         sh->done = 1;
         pthread_cond_broadcast(&sh->term_cv);

@@ -1,0 +1,57 @@
+"""Warm kinase TPU measurement lane (run as a subprocess by bench.py).
+
+Protocol mirrors the round-1 headline measurement: build the engine (cube
+fill + UB beam), one warm-up run (absorbs any residual compile), then one
+timed run.  Per-stage STAGE lines make a tunnel stall attributable from
+partial output; the final KINASE_TPU line carries the numbers.
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+KINASE = "/root/reference/kinase.fasta"
+KINASE_G = 421546
+
+
+def main() -> None:
+    import jax
+
+    print("STAGE devices", flush=True)
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        print("TPU_ABSENT", flush=True)
+        return
+
+    from mpi_pastar_msa_tpu.core.problem import problem_from_fasta
+    from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+    from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
+
+    print("STAGE load+hpair", flush=True)
+    kin = problem_from_fasta(KINASE)
+    kin_h = HPairHeuristic.build(kin)
+
+    print("STAGE engine build (cube fill + UB beam)", flush=True)
+    t0 = time.perf_counter()
+    eng = TpuFrontierSearch(kin, kin_h, capacity=1 << 24, batch=16384,
+                            chunk_steps=64)
+    print(f"OK build wall={time.perf_counter() - t0:.1f}s", flush=True)
+
+    print("STAGE warmup run (includes any residual compile)", flush=True)
+    t0 = time.perf_counter()
+    r = eng.run()
+    assert r.g == KINASE_G, r.g
+    print(f"OK warmup g={r.g} wall={time.perf_counter() - t0:.1f}s", flush=True)
+
+    print("STAGE timed run", flush=True)
+    t0 = time.perf_counter()
+    r = eng.run()
+    wall = time.perf_counter() - t0
+    assert r.g == KINASE_G, r.g
+    cubes = len(getattr(eng.heuristic, "triangles", []) or [])
+    print(f"KINASE_TPU wall={wall:.3f} nodes={r.nodes_expanded} "
+          f"cubes={cubes}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,10 @@ Exercises the Mosaic-sensitive paths on actual hardware: sig-table probe
 protocol, fused expand, triple-cube gathers, device backtrace, and the
 shard_map engine.  Prints TPU_ABSENT if no TPU platform is available
 (the pytest wrapper skips), else one OK line per stage.
+
+Every stage announces itself with a ``STAGE <name>`` line BEFORE dispatching
+so that a tunnel stall is attributable to a specific stage from partial
+output (the round-2 bench could not tell a stall from a long compile).
 """
 import sys
 import time
@@ -14,6 +18,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def main() -> None:
     import jax
 
+    print("STAGE devices", flush=True)
     try:
         devs = [d for d in jax.devices() if d.platform != "cpu"]
     except Exception:  # noqa: BLE001
@@ -22,11 +27,22 @@ def main() -> None:
         print("TPU_ABSENT", flush=True)
         return
 
+    # trivial dispatch first: distinguishes "backend blackout" from any
+    # engine/Mosaic problem in the later stages
+    print("STAGE trivial_op", flush=True)
+    t0 = time.perf_counter()
+    import jax.numpy as jnp
+
+    val = int(jax.jit(lambda x: x.sum())(jnp.arange(1024)).block_until_ready())
+    assert val == 1024 * 1023 // 2
+    print(f"OK trivial_op wall={time.perf_counter() - t0:.1f}s", flush=True)
+
     from mpi_pastar_msa_tpu.core.problem import problem_from_fasta
     from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
     from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
 
     # PF08184: end-to-end sig engine incl. triple cube + device walk
+    print("STAGE pf_sig (engine build + search, compile-cached)", flush=True)
     pf = problem_from_fasta("/root/reference/PF08184.fasta")
     pf_h = HPairHeuristic.build(pf)
     t0 = time.perf_counter()
@@ -37,6 +53,7 @@ def main() -> None:
           f"wall={time.perf_counter() - t0:.1f}s", flush=True)
 
     # test2: a deeper search (reopen/width-tier paths get real traffic)
+    print("STAGE test2", flush=True)
     t2 = problem_from_fasta("/root/reference/test2.fasta")
     t2_h = HPairHeuristic.build(t2)
     t0 = time.perf_counter()
@@ -48,6 +65,7 @@ def main() -> None:
 
     # sharded engine on the real chip (1-device mesh still runs the
     # shard_map/all_to_all code path end-to-end)
+    print("STAGE pf_sharded", flush=True)
     from mpi_pastar_msa_tpu.parallel.sharded import ShardedFrontierSearch
 
     t0 = time.perf_counter()
