@@ -144,10 +144,17 @@ def run(argv=None) -> int:
                 devs = all_devs[:n_dev]
                 if args.triples == "off":
                     heuristic = getattr(heuristic, "base", heuristic)
-                elif (args.triples in ("on", "fractional")
+                elif args.triples == "fractional":
+                    # the sharded engine has no scaled-cost descale path:
+                    # refuse loudly rather than silently running a weaker
+                    # bound than the one the user requested
+                    print("error: --triples fractional is single-device "
+                          "only (the sharded engine cannot descale the "
+                          "(n-2)-scaled cost algebra); use --triples on",
+                          file=sys.stderr)
+                    return 2
+                elif (args.triples == "on"
                       and not hasattr(heuristic, "triangles")):
-                    # sharded engine has no scaled-cost descale path yet:
-                    # 'fractional' degrades to the cherry cover here
                     from .heuristic.triples import HTriples
 
                     ht = HTriples.build(heuristic, device=devs[0])

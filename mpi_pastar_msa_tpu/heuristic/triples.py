@@ -491,6 +491,17 @@ class HTriples:
             frac = pick_fractional_cover(wi, n)
             if len(frac) <= cap:
                 cover, scale = frac, n - 2
+            else:
+                # the caller explicitly asked for the fractional bound —
+                # degrading to the weaker cherry cover must be audible
+                import warnings
+
+                warnings.warn(
+                    f"fractional triple cover needs {len(frac)} cubes but "
+                    f"the budget allows {cap}; falling back to the cherry "
+                    f"cover (cost_scale stays 1)",
+                    RuntimeWarning, stacklevel=2,
+                )
         if cover is None:
             cover = pick_cover(wi, n, max_triangles=cap)
         if not cover:

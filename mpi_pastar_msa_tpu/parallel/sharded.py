@@ -7,9 +7,13 @@ owned by exactly one shard via the configurable owner hash
 
   1. selects its lowest-f open batch from its own table shard,
   2. expands all successors and computes each child's owner shard,
-  3. exchanges migrants with a single tiled ``all_to_all`` over ICI
-     (replacing the sender/receiver/processor thread trio + LZ4 wire codec,
-     ref: pastar/pastar_functions/PAStarSender.cpp / PAStarReceiver.cpp),
+  3. exchanges migrants with a capacity-planned tiled ``all_to_all`` over
+     ICI — self-owned candidates bypass the wire, each peer gets a fixed
+     per-destination budget sized to actual migration, and overflow spills
+     into a carry ring retried next step (replacing the sender/receiver/
+     processor thread trio + per-destination batching + LZ4 wire codec,
+     ref: pastar/pastar_functions/PAStarSender.cpp:36-60 /
+     PAStarReceiver.cpp; see _route_cap),
   4. inserts received candidates into its local shard with
      decrease-key/reopen semantics,
   5. joins the global termination consensus: ``pmin`` over local best-f and
@@ -51,6 +55,7 @@ from ..search.engine import (
     _insert_packed,
     _insert_sig,
     _pack_keys,
+    _prefix_sum,
     _probe_slot,
     _select,
     _select_packed,
@@ -79,125 +84,116 @@ class ShardedSearchResult:
     nodes_migrated: int = 0
 
 
-def _route(st: _Static, ndev: int, owner, coords, keys, g_c, f_c, mask_c, valid):
-    """Sort candidates by destination shard and build the (ndev, L) exchange
-    buffer, then swap rows with a tiled all_to_all."""
-    L = keys.shape[0]
-    dest = jnp.where(valid, owner(coords), ndev).astype(jnp.int32)  # (L,)
+def _route_cap(ndev: int, cap: int, dest, fsort, others, carry, fills):
+    """Capacity-planned shard exchange with an overflow carry ring.
 
-    # sort every field by destination (invalid -> ndev, sorted last)
-    key_w = [keys[:, w].astype(jnp.uint32) for w in range(st.W)]
-    sort_in = (dest, g_c, f_c, mask_c) + tuple(key_w)
-    sorted_vals = jax.lax.sort(sort_in, num_keys=1)
-    dest_s, g_s, f_s, mask_s = sorted_vals[:4]
-    keys_s = jnp.stack(sorted_vals[4:], axis=-1)
+    The round-2 dense exchange shipped an (ndev, L) padded buffer per field
+    — every shard sent L = B*M slots to EVERY peer, mostly empty, so both
+    wire volume and the receiver's insert width grew linearly with device
+    count (measured: step time 35→321 ms from 1→8 CPU-mesh devices).  The
+    reference batches only what each destination actually receives
+    (ref: pastar/pastar_functions/PAStarSender.cpp:36-60); this is the
+    fixed-shape XLA analogue:
 
-    # start offset of each destination's run
+      * the caller diverts self-owned candidates around the exchange
+        entirely (the reference's same-rank inbox push,
+        ref: pastar/PAStar.cpp:377-385), so only true migrants ride the wire;
+      * each destination gets a fixed ``cap`` slots (cap ~ 2L/ndev, so the
+        received total ndev*cap stays ~2L regardless of device count);
+      * per-destination overflow spills — lowest f first is kept on the
+        wire — into a fixed carry ring retried next super-step.  Carried
+        nodes stay part of the termination consensus via their min f, so
+        delaying them never breaks the f*-bound optimality proof.
+
+    ``jax.lax.ragged_all_to_all`` would remove the cap entirely but is
+    unsupported by XLA:CPU (the only multi-device mesh available here);
+    this dense-with-capacity form runs on both and is ICI-shaped.
+
+    Args: ``dest`` (L,) destination shard per candidate, already ``ndev``
+    for invalid/self rows; ``fsort`` (L,) i32 sort key (f-packed; fills[0]
+    = its empty value); ``others`` tuple of (L,) i32 wire words; ``carry``
+    (Ccar, 2+K) i32 rows [dest, fsort, *others]; ``fills`` empty value per
+    received field [fsort, *others].
+
+    Returns (received fields [(ndev*cap,)] for fsort + others, new carry,
+    carry-overflow count, min carried fsort).
+    """
+    K = len(others)
+    Ccar = carry.shape[0]
+    dest_a = jnp.concatenate([dest, carry[:, 0]])
+    fsort_a = jnp.concatenate([fsort, carry[:, 1]])
+    oth_a = [jnp.concatenate([others[k], carry[:, 2 + k]]) for k in range(K)]
+
+    # lexicographic (dest, f) sort: per destination, best f first — so when
+    # the cap binds, the best candidates migrate and the worst wait
+    sorted_vals = jax.lax.sort((dest_a, fsort_a) + tuple(oth_a), num_keys=2)
+    dest_s, fsort_s = sorted_vals[0], sorted_vals[1]
+    oth_s = list(sorted_vals[2:])
+
+    T = dest_s.shape[0]
     counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest_s].add(1, mode="drop")
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
-    idx = jnp.arange(L, dtype=jnp.int32)
-    col = idx - starts[jnp.clip(dest_s, 0, ndev)]
+    col = jnp.arange(T, dtype=jnp.int32) - starts[jnp.clip(dest_s, 0, ndev)]
 
-    # scatter into (ndev, L) padded send buffer; invalid rows dropped
-    flat = jnp.where(dest_s < ndev, dest_s * L + col, ndev * L)
-    buf_g = jnp.full((ndev * L,), INF, jnp.int32).at[flat].set(g_s, mode="drop")
-    buf_f = jnp.full((ndev * L,), INF, jnp.int32).at[flat].set(f_s, mode="drop")
-    buf_m = jnp.zeros((ndev * L,), jnp.int32).at[flat].set(mask_s, mode="drop")
-    buf_k = jnp.full((ndev * L, st.W), _EMPTY_WORD, jnp.uint32).at[flat].set(
-        keys_s, mode="drop"
-    )
+    to_wire = (dest_s < ndev) & (col < cap)
+    flat = jnp.where(to_wire, dest_s * cap + col, ndev * cap)
 
-    # single tiled all_to_all per field (ICI); row j <-> shard j
-    def xch(x):
-        return jax.lax.all_to_all(
-            x.reshape((ndev, L) + x.shape[1:]), AXIS, 0, 0, tiled=False
-        ).reshape((ndev * L,) + x.shape[1:])
+    # ONE all_to_all for the whole wire: fields stacked as (cap, 1+K) rows
+    # (collective rendezvous count dominates small-step cost on emulated
+    # meshes and bounds the latency floor on real ones)
+    wire_rows = jnp.stack([fsort_s] + oth_s, axis=1)  # (T, 1+K)
+    fill_wire = jnp.asarray(np.array(list(fills), dtype=np.int32))
+    buf = jnp.broadcast_to(fill_wire, (ndev * cap, 1 + K)).at[flat].set(
+        wire_rows, mode="drop")
+    rbuf = jax.lax.all_to_all(
+        buf.reshape(ndev, cap, 1 + K), AXIS, 0, 0, tiled=False
+    ).reshape(ndev * cap, 1 + K)
+    received = [rbuf[:, k] for k in range(1 + K)]
 
-    rg = xch(buf_g)
-    rf = xch(buf_f)
-    rm = xch(buf_m)
-    rk = xch(buf_k)
-    rvalid = rk[:, 0] != _EMPTY_WORD
-    return rk, rg, rf, rm, rvalid
-
-
-def _route_packed(st: _Static, ndev: int, owner, coords, keys, h_c, packed, valid):
-    """Packed-layout migration: sort by destination shard, one tiled
-    all_to_all per field (keys + h + packed word — the whole node state)."""
-    L = keys.shape[0]
-    dest = jnp.where(valid, owner(coords), ndev).astype(jnp.int32)
-
-    key_w = [keys[:, w].astype(jnp.uint32) for w in range(st.W)]
-    sort_in = (dest, packed, h_c) + tuple(key_w)
-    sorted_vals = jax.lax.sort(sort_in, num_keys=1)
-    dest_s, packed_s, h_s = sorted_vals[:3]
-    keys_s = jnp.stack(sorted_vals[3:], axis=-1)
-
-    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest_s].add(1, mode="drop")
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
-    idx = jnp.arange(L, dtype=jnp.int32)
-    col = idx - starts[jnp.clip(dest_s, 0, ndev)]
-
-    flat = jnp.where(dest_s < ndev, dest_s * L + col, ndev * L)
-    buf_p = jnp.full((ndev * L,), INFP, jnp.int32).at[flat].set(packed_s, mode="drop")
-    buf_h = jnp.zeros((ndev * L,), jnp.int32).at[flat].set(h_s, mode="drop")
-    buf_k = jnp.full((ndev * L, st.W), _EMPTY_WORD, jnp.uint32).at[flat].set(
-        keys_s, mode="drop"
-    )
-
-    def xch(x):
-        return jax.lax.all_to_all(
-            x.reshape((ndev, L) + x.shape[1:]), AXIS, 0, 0, tiled=False
-        ).reshape((ndev * L,) + x.shape[1:])
-
-    rp = xch(buf_p)
-    rh = xch(buf_h)
-    rk = xch(buf_k)
-    rvalid = rk[:, 0] != _EMPTY_WORD
-    return rk, rh, rp, rvalid
+    # spilled rows -> next step's carry (fixed ring; sorted above, so only
+    # the worst-f per destination wait)
+    is_over = (dest_s < ndev) & (col >= cap)
+    over_pos = _prefix_sum(is_over.astype(jnp.int32)) - 1
+    slot = jnp.where(is_over, over_pos, Ccar)
+    rows = jnp.stack([dest_s, fsort_s] + oth_s, axis=1)  # (T, 2+K)
+    fill_row = jnp.asarray(
+        np.array([ndev, fills[0]] + list(fills[1:]), dtype=np.int32))
+    new_carry = jnp.broadcast_to(fill_row, (Ccar, 2 + K)).at[slot].set(
+        rows, mode="drop")
+    carry_ovf = jnp.maximum(jnp.sum(is_over) - Ccar, 0)
+    carry_fmin = jnp.min(
+        jnp.where(new_carry[:, 0] < ndev, new_carry[:, 1], fills[0]))
+    return received, new_carry, carry_ovf, carry_fmin
 
 
-def _route_sig(st: _Static, ndev: int, owner, child, home, sigb, packed, valid):
-    """Sig-layout migration: the wire is 3 words per node — (home bucket,
-    sig word, packed (f,par)) — because the (home, sig) pair IS the full key
-    (see engine._sig_encode) and the layout stores no h.  Beats the packed
-    wire (W key words + h + packed) at any N."""
-    L = home.shape[0]
-    dest = jnp.where(valid, owner(child), ndev).astype(jnp.int32)
+def _consensus(goal_g, goal_l, fmin_l, n_sel, ovf_step):
+    """One fused collective for the per-step consensus: min goal candidate,
+    global min f, total selected, total overflow (the two MPI_Allreduce
+    analogues, ref: pastar/PAStar.cpp:502-519, plus threshold/overflow
+    bookkeeping).  A single all_gather of a 4-vector + local reduce replaces
+    four scalar allreduces — rendezvous count, not payload, is the cost."""
+    vec = jnp.stack([goal_l, fmin_l, n_sel, ovf_step])
+    allv = jax.lax.all_gather(vec, AXIS)  # (ndev, 4)
+    return (jnp.minimum(goal_g, jnp.min(allv[:, 0])), jnp.min(allv[:, 1]),
+            jnp.sum(allv[:, 2]), jnp.sum(allv[:, 3]))
 
-    sort_in = (dest, packed, home, sigb)
-    dest_s, packed_s, home_s, sigb_s = jax.lax.sort(sort_in, num_keys=1)
 
-    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest_s].add(1, mode="drop")
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
-    idx = jnp.arange(L, dtype=jnp.int32)
-    col = idx - starts[jnp.clip(dest_s, 0, ndev)]
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    flat = jnp.where(dest_s < ndev, dest_s * L + col, ndev * L)
-    buf_p = jnp.full((ndev * L,), INFP, jnp.int32).at[flat].set(packed_s, mode="drop")
-    buf_h = jnp.zeros((ndev * L,), jnp.uint32).at[flat].set(home_s, mode="drop")
-    buf_s = jnp.full((ndev * L,), _EMPTY_WORD, jnp.uint32).at[flat].set(
-        sigb_s, mode="drop"
-    )
 
-    def xch(x):
-        return jax.lax.all_to_all(
-            x.reshape((ndev, L) + x.shape[1:]), AXIS, 0, 0, tiled=False
-        ).reshape((ndev * L,) + x.shape[1:])
-
-    rp = xch(buf_p)
-    rh = xch(buf_h)
-    rs = xch(buf_s)
-    rvalid = rs != _EMPTY_WORD  # a real sig word is always < 0xFFFFFFFF
-    return rh, rs, rp, rvalid
+def _u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
 
 def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
-                          hash_type: str, hash_shift: int):
+                          hash_type: str, hash_shift: int, cap: int):
     """Bucketed-sig sharded search (see engine.py sig-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
     goal_owner_np = int(own(st.final_np[None, :])[0])
+    Ccar = st.B * st.M  # carry ring absorbs a full step's candidate output
+    carry_fill = np.array([ndev, INFP, 0, -1], dtype=np.int32)
 
     def init_fn(root_h_arr):
         dev = jax.lax.axis_index(AXIS)
@@ -215,9 +211,10 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
             sigb[0], mode="drop")
         t_best = t_best.at[jnp.where(is_owner, buck * st.ways, C)].set(
             ((root_h_arr[0] - st.f0) << st.nb) | ((1 << st.n) - 1), mode="drop")
-        return t_sig, t_best, t_closed
+        carry = jnp.broadcast_to(jnp.asarray(carry_fill), (Ccar, 4))
+        return t_sig, t_best, t_closed, carry
 
-    def chunk_fn(t_sig, t_best, t_closed, counters, shard_ctr,
+    def chunk_fn(t_sig, t_best, t_closed, xcarry, counters, shard_ctr,
                  chunk_steps, ub, htab, henc, tri8):
         tab = (t_sig, t_best, t_closed)
         goal0, steps0 = counters[0], counters[2]
@@ -228,11 +225,12 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
         def cond(carry):
-            _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
+            _, _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, local = carry
+            (tab, xcar, claim, goal_g, fmin_g, thr, steps, expanded, reopen,
+             n_open, migr, ovf, local) = carry
             tab, coords, f_sel, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_sig(st, tab, goal_g, thr))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
@@ -242,45 +240,71 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
             valid = valid & (f_c <= ub[0])
             packed = ((f_c - st.f0) << st.nb) | mask_c
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
-            # migrated = candidates owned elsewhere (the reference's
-            # remote-send count, ref: pastar/PAStar.cpp:387-393)
-            migr_ct = jnp.sum(valid & (own(child) != me))
+            # self-owned candidates bypass the wire (the reference's
+            # same-rank inbox push, ref: pastar/PAStar.cpp:377-385);
+            # migrated = candidates owned elsewhere (the remote-send count,
+            # ref: pastar/PAStar.cpp:387-393)
             home, sigb = _sig_encode(st, child)
-            rh, rs, rp, rvalid = _route_sig(
-                st, ndev, own, child, home, sigb, packed, valid
-            )
-            tab, ovf_l, claim = _insert_sig(
-                st, tab, rh, rs, None, rp, rvalid,
-                claim=claim, step_tag=local.astype(jnp.uint32),
-            )
-            # global consensus (the two MPI_Allreduce analogues,
-            # ref: pastar/PAStar.cpp:502-519)
-            goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
-            fmin_g = jax.lax.pmin(fmin_l, AXIS)
+            if ndev == 1:
+                # single shard: every candidate is self-owned — no wire, no
+                # carry, no sort (matches the single-chip engine's path)
+                migr_ct = jnp.int32(0)
+                covf = jnp.int32(0)
+                tab, ovf_l, claim = _insert_sig(
+                    st, tab, home,
+                    jnp.where(valid, sigb, _EMPTY_WORD), None, packed, valid,
+                    claim=claim, step_tag=local.astype(jnp.uint32),
+                )
+                carry_fabs = INF
+            else:
+                dst = own(child)
+                is_local = valid & (dst == me)
+                is_remote = valid & (dst != me)
+                migr_ct = jnp.sum(is_remote)
+                dest_x = jnp.where(is_remote, dst, ndev).astype(jnp.int32)
+                recv, xcar, covf, carry_fp = _route_cap(
+                    ndev, cap, dest_x, packed, (_i32(home), _i32(sigb)), xcar,
+                    fills=(int(INFP), 0, -1))
+                rp, rh_i, rs_i = recv
+                all_home = jnp.concatenate([_u32(rh_i), home])
+                all_sig = jnp.concatenate(
+                    [_u32(rs_i), jnp.where(is_local, sigb, _EMPTY_WORD)])
+                all_p = jnp.concatenate([rp, packed])
+                all_valid = jnp.concatenate([rs_i != -1, is_local])
+                tab, ovf_l, claim = _insert_sig(
+                    st, tab, all_home, all_sig, None, all_p, all_valid,
+                    claim=claim, step_tag=local.astype(jnp.uint32),
+                )
+                carry_fabs = jnp.where(carry_fp < INFP,
+                                       (carry_fp >> st.nb) + st.f0, INF)
+            # carried nodes keep their min-f in the bound so spilling never
+            # fakes quiescence
+            goal_g, fmin_g, n_sel_g, ovf_g = _consensus(
+                goal_g, goal_l, jnp.minimum(fmin_l, carry_fabs), n_sel,
+                ovf_l + covf)
             from ..search.engine import _adapt_thr
 
-            thr = _adapt_thr(thr, jax.lax.psum(n_sel, AXIS), st.B * ndev)
-            return (tab, claim, goal_g, fmin_g, thr, steps + 1,
+            thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
+            return (tab, xcar, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open_l, migr + migr_ct,
-                    ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
+                    ovf + ovf_g, local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, migr0,
-                z32, z32)
-        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, _ = (
-            jax.lax.while_loop(cond, body, init)
-        )
+        init = (tab, xcarry, claim0, goal0, z32, z32, steps0, exp0, reop0,
+                z32, migr0, z32, z32)
+        (tab, xcarry, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open,
+         migr, ovf, _) = jax.lax.while_loop(cond, body, init)
         closed_ct = jnp.sum(tab[1] >= tab[2]).astype(jnp.int32) - jnp.sum(
             tab[1] == INFP).astype(jnp.int32)
         stats = jnp.stack([goal_g, fmin_g, steps, ovf])
         shard_stats = jax.lax.all_gather(
             jnp.stack([expanded, reopen, closed_ct, n_open, migr]), AXIS
         )
-        return tab + (stats, shard_stats)
+        return tab + (xcarry, stats, shard_stats)
 
-    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS))
     init_jit = jax.jit(jax.shard_map(
         init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
         check_vma=False,
@@ -290,7 +314,7 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
         in_specs=spec_tab + (P(None),) * 7,
         out_specs=spec_tab + (P(None), P(None)),
         check_vma=False,
-    ), donate_argnums=(0, 1, 2))
+    ), donate_argnums=(0, 1, 2, 3))
     return init_jit, chunk_jit, goal_owner_np
 
 
@@ -345,11 +369,15 @@ def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
 
 
 def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
-                             hash_type: str, hash_shift: int):
+                             hash_type: str, hash_shift: int, cap: int):
     """Packed-layout sharded search (see engine.py packed-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
     goal_owner_np = int(own(st.final_np[None, :])[0])
+    Ccar = st.B * st.M
+    # wire = packed + h + W key words (carry rows lead with [dest, packed])
+    CW = 3 + st.W
+    carry_fill = np.array([ndev, INFP, 0] + [-1] * st.W, dtype=np.int32)
 
     def init_fn(root_h_arr):
         dev = jax.lax.axis_index(AXIS)
@@ -367,9 +395,10 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
         t_key = t_key.at[wslot].set(krow, mode="drop")
         t_best = t_best.at[wslot].set(
             ((root_h_arr[0] - st.f0) << st.nb) | ((1 << st.n) - 1), mode="drop")
-        return t_key, t_best, t_closed
+        carry = jnp.broadcast_to(jnp.asarray(carry_fill), (Ccar, CW))
+        return t_key, t_best, t_closed, carry
 
-    def chunk_fn(t_key, t_best, t_closed, counters, shard_ctr,
+    def chunk_fn(t_key, t_best, t_closed, xcarry, counters, shard_ctr,
                  chunk_steps, ub, htab, henc, tri8):
         tab = (t_key, t_best, t_closed)
         goal0, steps0 = counters[0], counters[2]
@@ -383,11 +412,12 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
         def cond(carry):
-            _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
+            _, _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, local = carry
+            (tab, xcar, claim, goal_g, fmin_g, thr, steps, expanded, reopen,
+             n_open, migr, ovf, local) = carry
             tab, coords, g, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_packed(st, tab, goal_g, thr))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
@@ -396,42 +426,65 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
             valid = valid & (f_c <= ub[0])
             packed = ((f_c - st.f0) << st.nb) | mask_c
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
-            migr_ct = jnp.sum(valid & (own(child) != me))
-            rk, rh, rp, rvalid = _route_packed(
-                st, ndev, own, child, keys, h_c, packed, valid
-            )
-            tab, ovf_l, claim = _insert_packed(
-                st, tab, rk, rh, rp, rvalid,
-                claim=claim, step_tag=local.astype(jnp.uint32),
-            )
-            # global consensus (the two MPI_Allreduce analogues,
-            # ref: pastar/PAStar.cpp:502-519)
-            goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
-            fmin_g = jax.lax.pmin(fmin_l, AXIS)
+            if ndev == 1:
+                migr_ct = jnp.int32(0)
+                covf = jnp.int32(0)
+                tab, ovf_l, claim = _insert_packed(
+                    st, tab, keys, h_c, packed, valid,
+                    claim=claim, step_tag=local.astype(jnp.uint32),
+                )
+                carry_fabs = INF
+            else:
+                dst = own(child)
+                is_local = valid & (dst == me)
+                is_remote = valid & (dst != me)
+                migr_ct = jnp.sum(is_remote)
+                dest_x = jnp.where(is_remote, dst, ndev).astype(jnp.int32)
+                key_w = tuple(_i32(keys[:, w]) for w in range(st.W))
+                recv, xcar, covf, carry_fp = _route_cap(
+                    ndev, cap, dest_x, packed, (h_c,) + key_w, xcar,
+                    fills=(int(INFP), 0) + (-1,) * st.W)
+                rp, rh = recv[0], recv[1]
+                rk = jnp.stack([_u32(w) for w in recv[2:]], axis=-1)
+                all_keys = jnp.concatenate(
+                    [rk, jnp.where(is_local[:, None], keys, _EMPTY_WORD)])
+                all_h = jnp.concatenate([rh, h_c])
+                all_p = jnp.concatenate([rp, packed])
+                all_valid = jnp.concatenate([rk[:, 0] != _EMPTY_WORD, is_local])
+                tab, ovf_l, claim = _insert_packed(
+                    st, tab, all_keys, all_h, all_p, all_valid,
+                    claim=claim, step_tag=local.astype(jnp.uint32),
+                )
+                carry_fabs = jnp.where(carry_fp < INFP,
+                                       (carry_fp >> st.nb) + st.f0, INF)
+            # carried nodes keep their min-f in the bound so spilling never
+            # fakes quiescence
+            goal_g, fmin_g, n_sel_g, ovf_g = _consensus(
+                goal_g, goal_l, jnp.minimum(fmin_l, carry_fabs), n_sel,
+                ovf_l + covf)
             from ..search.engine import _adapt_thr
 
-            thr = _adapt_thr(thr, jax.lax.psum(n_sel, AXIS), st.B * ndev)
-            return (tab, claim, goal_g, fmin_g, thr, steps + 1,
+            thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
+            return (tab, xcar, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open_l, migr + migr_ct,
-                    ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
+                    ovf + ovf_g, local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, migr0,
-                z32, z32)
-        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, _ = (
-            jax.lax.while_loop(cond, body, init)
-        )
+        init = (tab, xcarry, claim0, goal0, z32, z32, steps0, exp0, reop0,
+                z32, migr0, z32, z32)
+        (tab, xcarry, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open,
+         migr, ovf, _) = jax.lax.while_loop(cond, body, init)
         closed_ct = jnp.sum(tab[1] >= tab[2]).astype(jnp.int32) - jnp.sum(
             tab[1] == INFP).astype(jnp.int32)
         stats = jnp.stack([goal_g, fmin_g, steps, ovf])
         shard_stats = jax.lax.all_gather(
             jnp.stack([expanded, reopen, closed_ct, n_open, migr]), AXIS
         )  # (ndev, 5) replicated — per-tid stats table without P(AXIS) I/O
-        return tab + (stats, shard_stats)
+        return tab + (xcarry, stats, shard_stats)
 
-    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS))
     init_jit = jax.jit(jax.shard_map(
         init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
         check_vma=False,
@@ -441,7 +494,7 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
         in_specs=spec_tab + (P(None),) * 7,
         out_specs=spec_tab + (P(None), P(None)),
         check_vma=False,
-    ), donate_argnums=(0, 1, 2))
+    ), donate_argnums=(0, 1, 2, 3))
     return init_jit, chunk_jit, goal_owner_np
 
 
@@ -497,11 +550,16 @@ def _make_sharded_walk_packed(st: _Static, mesh: Mesh, ndev: int):
     return jax.jit(fn)
 
 
-def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_shift: int):
+def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
+                      hash_shift: int, cap: int):
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
     goal_owner_np = int(own(st.final_np[None, :])[0])
-    root_h = None  # filled by caller closure via init args
+    Ccar = st.B * st.M
+    # wire = f + g + mask + W key words (carry rows lead with [dest, f])
+    CW = 4 + st.W
+    carry_fill = np.array([ndev, int(INF), int(INF), 0] + [-1] * st.W,
+                          dtype=np.int32)
 
     def init_fn(root_h_arr):
         dev = jax.lax.axis_index(AXIS)
@@ -523,9 +581,10 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         t_f = t_f.at[wslot].set(root_h_arr[0], mode="drop")
         t_par = t_par.at[wslot].set((1 << st.n) - 1, mode="drop")
         t_state = t_state.at[wslot].set(1, mode="drop")
-        return t_key, t_g, t_f, t_par, t_state
+        carry = jnp.broadcast_to(jnp.asarray(carry_fill), (Ccar, CW))
+        return t_key, t_g, t_f, t_par, t_state, carry
 
-    def chunk_fn(t_key, t_g, t_f, t_par, t_state, counters, shard_ctr,
+    def chunk_fn(t_key, t_g, t_f, t_par, t_state, xcarry, counters, shard_ctr,
                  chunk_steps, ub, htab, henc, tri8):
         tab = (t_key, t_g, t_f, t_par, t_state)
         goal0, steps0 = counters[0], counters[2]
@@ -535,51 +594,74 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
         claim0 = jnp.full((st.C,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
 
         def cond(carry):
-            _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
+            _, _, _, goal_g, fmin_g, thr, steps, _, _, _, _, ovf, local = carry
             return (fmin_g < goal_g) & (local < chunk_steps[0]) & (ovf == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, local = carry
+            (tab, xcar, claim, goal_g, fmin_g, thr, steps, expanded, reopen,
+             n_open, migr, ovf, local) = carry
             tab, coords, g, par, f_par, active, fmin_l, n_open_l, n_sel = _select(st, tab, goal_g, thr)
             keys, g_c, f_c, mask_c, valid, is_goal, child, _ = _expand(
                 st, coords, g, par, active, f_par, htab, henc, tri8=tri8
             )
             valid = valid & (f_c <= ub[0])  # admissible UB pruning
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
-            migr_ct = jnp.sum(valid & (own(child) != me))
-            rk, rg, rf, rm, rvalid = _route(
-                st, ndev, own, child, keys, g_c, f_c, mask_c, valid
-            )
-            tab, reopen_ct, ovf_l, claim = _insert(
-                st, tab, rk, rg, rf, rm, rvalid,
-                claim=claim, step_tag=local.astype(jnp.uint32),
-            )
-            # global consensus (the two MPI_Allreduce analogues,
-            # ref: pastar/PAStar.cpp:502-519); counters stay shard-local for
-            # the per-tid stats table (ref: pastar/PAStar.cpp:591-619)
-            goal_g = jnp.minimum(goal_g, jax.lax.pmin(goal_l, AXIS))
-            fmin_g = jax.lax.pmin(fmin_l, AXIS)
+            if ndev == 1:
+                migr_ct = jnp.int32(0)
+                covf = jnp.int32(0)
+                carry_fmin = INF
+                tab, reopen_ct, ovf_l, claim = _insert(
+                    st, tab, keys, g_c, f_c, mask_c, valid,
+                    claim=claim, step_tag=local.astype(jnp.uint32),
+                )
+            else:
+                dst = own(child)
+                is_local = valid & (dst == me)
+                is_remote = valid & (dst != me)
+                migr_ct = jnp.sum(is_remote)
+                dest_x = jnp.where(is_remote, dst, ndev).astype(jnp.int32)
+                key_w = tuple(_i32(keys[:, w]) for w in range(st.W))
+                recv, xcar, covf, carry_fmin = _route_cap(
+                    ndev, cap, dest_x, f_c, (g_c, mask_c) + key_w, xcar,
+                    fills=(int(INF), int(INF), 0) + (-1,) * st.W)
+                rf, rg, rm = recv[0], recv[1], recv[2]
+                rk = jnp.stack([_u32(w) for w in recv[3:]], axis=-1)
+                all_keys = jnp.concatenate(
+                    [rk, jnp.where(is_local[:, None], keys, _EMPTY_WORD)])
+                all_g = jnp.concatenate([rg, g_c])
+                all_f = jnp.concatenate([rf, f_c])
+                all_m = jnp.concatenate([rm, mask_c])
+                all_valid = jnp.concatenate([rk[:, 0] != _EMPTY_WORD, is_local])
+                tab, reopen_ct, ovf_l, claim = _insert(
+                    st, tab, all_keys, all_g, all_f, all_m, all_valid,
+                    claim=claim, step_tag=local.astype(jnp.uint32),
+                )
+            # counters stay shard-local for the per-tid stats table
+            # (ref: pastar/PAStar.cpp:591-619); carried nodes keep their
+            # min-f in the bound
+            goal_g, fmin_g, n_sel_g, ovf_g = _consensus(
+                goal_g, goal_l, jnp.minimum(fmin_l, carry_fmin), n_sel,
+                ovf_l + covf)
             from ..search.engine import _adapt_thr
 
-            thr = _adapt_thr(thr, jax.lax.psum(n_sel, AXIS), st.B * ndev)
-            return (tab, claim, goal_g, fmin_g, thr, steps + 1,
+            thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
+            return (tab, xcar, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
                     n_open_l, migr + migr_ct,
-                    ovf + jax.lax.psum(ovf_l, AXIS), local + 1)
+                    ovf + ovf_g, local + 1)
 
         z32 = jnp.asarray(np.int32(0))
-        init = (tab, claim0, goal0, z32, z32, steps0, exp0, reop0, z32, migr0,
-                z32, z32)
-        tab, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open, migr, ovf, _ = (
-            jax.lax.while_loop(cond, body, init)
-        )
+        init = (tab, xcarry, claim0, goal0, z32, z32, steps0, exp0, reop0,
+                z32, migr0, z32, z32)
+        (tab, xcarry, _, goal_g, fmin_g, thr, steps, expanded, reopen, n_open,
+         migr, ovf, _) = jax.lax.while_loop(cond, body, init)
         closed_ct = jnp.sum(tab[4] == 2).astype(jnp.int32)
         stats = jnp.stack([goal_g, fmin_g, steps, ovf])
         shard_stats = jnp.stack([expanded, reopen, closed_ct, n_open, migr])
-        return tab + (stats, shard_stats)
+        return tab + (xcarry, stats, shard_stats)
 
-    spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+    spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
     init_jit = jax.jit(jax.shard_map(
         init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
         check_vma=False,
@@ -590,7 +672,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str, hash_s
                              P(None), P(None)),
         out_specs=spec_tab + (P(None), P(AXIS)),
         check_vma=False,
-    ), donate_argnums=(0, 1, 2, 3, 4))
+    ), donate_argnums=(0, 1, 2, 3, 4, 5))
     return init_jit, chunk_jit, goal_owner_np
 
 
@@ -660,7 +742,7 @@ class ShardedFrontierSearch:
                  devices=None, hash_type: str = "FZORDER", hash_shift: int = 12,
                  batch: Optional[int] = None, capacity: Optional[int] = None,
                  max_steps: int = 500_000, chunk_steps: int = 256,
-                 layout: str = "auto"):
+                 layout: str = "auto", exchange_cap: Optional[int] = None):
         self.layout_pref = layout
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
@@ -679,14 +761,23 @@ class ShardedFrontierSearch:
         n = problem.n_seq
         M = (1 << n) - 1
         if batch is None:
-            batch = max(64, min(2048, (1 << 18) // M))
+            # fixed TOTAL selection width across the mesh (strong scaling):
+            # per-shard batch shrinks as devices grow, keeping the search's
+            # speculation level — and each shard's expand/insert work —
+            # independent of device count
+            batch = max(64, min(2048, (1 << 18) // M) // self.ndev)
         if capacity is None:
             lattice = 1
             for L in problem.final_coord:
                 lattice *= int(L) + 1
                 if lattice > (1 << 26):
                     break
-            per_dev = max(1 << 14, min(1 << 22, lattice * 2 // self.ndev))
+            # size the TOTAL table across the mesh, then shard it: the
+            # per-step select/closed passes scan the whole per-shard table,
+            # so per-shard capacity must SHRINK as devices grow or total
+            # select work (and CPU-mesh wall) grows linearly with ndev
+            total = max(1 << 16, min(1 << 23, lattice * 2))
+            per_dev = max(1 << 14, min(1 << 22, total // self.ndev))
             capacity = 1 << (per_dev - 1).bit_length()
         batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
@@ -743,6 +834,15 @@ class ShardedFrontierSearch:
                        and (self.ub - f0 + 64) < budget)
 
         self.st = _Static(problem, self.heuristic, batch, capacity, f0=f0)
+        # per-destination exchange capacity: the received total ndev*cap
+        # stays ~2 candidate-widths regardless of device count (see
+        # _route_cap); self-owned candidates never ride the wire, so cap
+        # only needs to cover true migrants
+        L_cand = self.st.B * self.st.M
+        if exchange_cap is None:
+            exchange_cap = 128 if self.ndev == 1 else min(
+                L_cand, max(256, (2 * L_cand) // self.ndev))
+        self.exchange_cap = int(exchange_cap)
         if self.layout_pref != "auto":
             self.layout = self.layout_pref
             if self.layout == "sig" and not (self.packed and self.st.sig_ok):
@@ -755,19 +855,22 @@ class ShardedFrontierSearch:
                            else "packed" if self.packed else "unpacked")
         if self.layout == "sig":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_sig(
-                self.st, self.mesh, self.ndev, hash_type, hash_shift
+                self.st, self.mesh, self.ndev, hash_type, hash_shift,
+                self.exchange_cap
             )
             self._walk = _make_sharded_walk_sig(self.st, self.mesh, self.ndev)
             self._ntab = 3
         elif self.layout == "packed":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_packed(
-                self.st, self.mesh, self.ndev, hash_type, hash_shift
+                self.st, self.mesh, self.ndev, hash_type, hash_shift,
+                self.exchange_cap
             )
             self._walk = _make_sharded_walk_packed(self.st, self.mesh, self.ndev)
             self._ntab = 3
         else:
             self._init, self._chunk, self._goal_owner = _make_sharded_run(
-                self.st, self.mesh, self.ndev, hash_type, hash_shift
+                self.st, self.mesh, self.ndev, hash_type, hash_shift,
+                self.exchange_cap
             )
             self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
             self._ntab = 5
@@ -826,7 +929,7 @@ class ShardedFrontierSearch:
         tri8_g = (st.d_tri8 if not self.multiprocess
                   else self._rep(np.asarray(st.d_tri8)))
         chunk_now = self.chunk_steps
-        nt = self._ntab
+        nt = self._ntab + 1  # tables + the exchange-carry ring
         import time as _time
         while True:
             _t0 = _time.perf_counter()
@@ -862,15 +965,17 @@ class ShardedFrontierSearch:
         n_open = int(per_shard[:, 3].sum())
         if ovf > 0:
             raise RuntimeError(
-                f"shard hash table overflow (per-shard capacity {st.C}); "
-                f"increase capacity"
+                f"shard hash table or exchange-carry overflow (per-shard "
+                f"capacity {st.C}, exchange cap {self.exchange_cap}); "
+                f"increase capacity / exchange_cap"
             )
         if steps >= self.max_steps and fmin_v < goal_v:
             raise RuntimeError("max_steps exceeded")
         if goal_v >= int(INF):
             raise RuntimeError("open set exhausted without reaching the goal")
 
-        masks, coord_fin = self._walk(*tab, self._rep(st.final_np))
+        masks, coord_fin = self._walk(*tab[: self._ntab],
+                                      self._rep(st.final_np))
         masks = self._read(masks)
         if not np.all(self._read(coord_fin) == 0):
             raise RuntimeError("distributed backtrace did not reach the origin")

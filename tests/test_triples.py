@@ -158,3 +158,121 @@ class TestEngineWithTriples:
         on = TpuFrontierSearch(p, h, triples="on").run().g
         off = TpuFrontierSearch(p, HPairHeuristic.build(p), triples="off").run().g
         assert on == off
+
+
+class TestFractional:
+    """All-triples fractional cover: the whole cost algebra runs scaled by
+    n-2 (heuristic/triples.py pick_fractional_cover); the engine must descale
+    g exactly and the scaled bound must stay admissible and dominate both
+    the pairwise sum and the cherry cover."""
+
+    def test_cover_structure_and_scale(self):
+        rng = np.random.default_rng(7)
+        for n in (4, 5):
+            p = Problem(_rand_seqs(rng, n, 3, 6))
+            hp = HPairHeuristic.build(p)
+            ht = HTriples.build(hp, fractional=True)
+            assert ht is not None
+            assert ht.cost_scale == n - 2
+            from math import comb
+            assert len(ht.triangles) == comb(n, 3)
+            # every pair appears in exactly n-2 triangles, at full weight
+            from collections import Counter
+            seen = Counter()
+            for (x, y, z), (wxy, wxz, wyz) in zip(ht.triangles,
+                                                  ht.tri_weights):
+                assert wxy == int(hp.weight_i[x, y])
+                assert wxz == int(hp.weight_i[x, z])
+                assert wyz == int(hp.weight_i[y, z])
+                seen[(x, y)] += 1
+                seen[(x, z)] += 1
+                seen[(y, z)] += 1
+            assert all(v == n - 2 for v in seen.values())
+            # scaled weight surface (edge costs, UB, path-g all consume it)
+            assert np.array_equal(ht.weight_i, hp.weight_i * (n - 2))
+
+    def test_admissible_and_dominates_pairwise_scaled(self):
+        # frac h(c) <= (n-2) * true remaining, and >= (n-2) * pairwise h(c)
+        # (cherry and fractional covers are incomparable pointwise: cherry
+        # concentrates full weights in few cubes, fractional spreads each
+        # pair over its n-2 cubes)
+        rng = np.random.default_rng(8)
+        p = Problem(_rand_seqs(rng, 4, 3, 6))
+        hp = HPairHeuristic.build(p)
+        ht_cherry = HTriples.build(hp)
+        ht_frac = HTriples.build(hp, fractional=True)
+        assert ht_frac is not None and ht_frac.cost_scale == 2
+        import itertools
+        from mpi_pastar_msa_tpu.core.cost import (COST_TABLE, GAP_EXTENSION,
+                                                  GAP_GAP)
+        lens = [len(s) for s in p.seqs]
+        pairs = p.pairs()
+        pw = [int(hp.weight_i[x, y]) for x, y in pairs]
+        enc = [np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+               for s in p.seqs]
+        INF = 1 << 40
+        rem = np.full([l + 1 for l in lens], INF, dtype=np.int64)
+        rem[tuple(lens)] = 0
+        for coord in sorted(itertools.product(*[range(l + 1) for l in lens]),
+                            key=lambda c: -sum(c)):
+            if coord == tuple(lens):
+                continue
+            best = INF
+            for mask in range(1, 1 << 4):
+                child = tuple(coord[i] + ((mask >> i) & 1) for i in range(4))
+                if any(child[i] > lens[i] for i in range(4)):
+                    continue
+                c = 0
+                for k, (x, y) in enumerate(pairs):
+                    bx, by = (mask >> x) & 1, (mask >> y) & 1
+                    if bx and by:
+                        c += pw[k] * int(
+                            COST_TABLE[enc[x][coord[x]], enc[y][coord[y]]])
+                    elif bx or by:
+                        c += pw[k] * GAP_EXTENSION
+                    else:
+                        c += pw[k] * GAP_GAP
+                best = min(best, c + int(rem[child]))
+            rem[coord] = best
+        scale = ht_frac.cost_scale
+        for coord in itertools.product(*[range(l + 1) for l in lens]):
+            ca = np.array(coord, np.int32)
+            hf = ht_frac.calculate_h(ca)
+            assert hf <= scale * int(rem[coord]), (coord, hf, rem[coord])
+            assert hf >= scale * hp.calculate_h(ca)
+        # both covers stay admissible at the origin
+        assert ht_cherry.calculate_h(np.zeros(4, np.int32)) <= int(rem[0, 0, 0, 0])
+
+    @pytest.mark.parametrize("n,seed", [(4, 11), (4, 12), (5, 13)])
+    def test_engine_parity_vs_native(self, n, seed):
+        # end-to-end: the (n-2)-scaled search descales g to the exact
+        # optimum; closed-path g values divide exactly (attach_path_g
+        # would throw otherwise); alignment renders
+        from mpi_pastar_msa_tpu.search.backtrace import build_alignment
+        from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
+        from mpi_pastar_msa_tpu.search.native import NativeAStar
+
+        rng = np.random.default_rng(seed)
+        p = Problem(_rand_seqs(rng, n, 4, 8))
+        hp = HPairHeuristic.build(p)
+        want = NativeAStar(p, hp).run().g
+        eng = TpuFrontierSearch(p, HPairHeuristic.build(p),
+                                triples="fractional")
+        assert getattr(eng.heuristic, "cost_scale", 1) == n - 2, \
+            "fractional cover not active"
+        res = eng.run()
+        assert res.g == want
+        al = build_alignment(p, res.closed)
+        assert all(len(r) == len(al[0]) for r in al)
+        for row, seq in zip(al, p.seqs):
+            assert row.replace("-", "") == seq
+
+    def test_explicit_fractional_fallback_warns(self):
+        # an explicit fractional request that cannot fit the budget must not
+        # degrade silently (the user asked for a specific bound)
+        rng = np.random.default_rng(14)
+        p = Problem(_rand_seqs(rng, 5, 4, 8))
+        hp = HPairHeuristic.build(p)
+        with pytest.warns(RuntimeWarning, match="fractional"):
+            ht = HTriples.build(hp, fractional=True, max_triangles=3)
+        assert ht is not None and ht.cost_scale == 1  # cherry fallback
