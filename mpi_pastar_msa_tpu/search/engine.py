@@ -200,21 +200,47 @@ class _Static:
             _ctx = (jax.default_device(_dev) if _dev is not None
                     else contextlib.nullcontext())
             with _ctx:
-                t0 = jnp.where(base3 >= 2**29, 0, base3)
-                tp = jnp.pad(t0, ((0, 0), (0, 1), (0, 1), (0, 1)))
-                rows3 = jnp.stack(
-                    [tp[:, bx : bx + S, by : by + S, bz : bz + S]
-                     for bx in (0, 1) for by in (0, 1) for bz in (0, 1)],
-                    axis=-1,
-                )  # corner index c = 4*bx + 2*by + bz matches tri_corner
-                self.d_tri8 = rows3.reshape(-1, 8)
+                if self.T3 * S * S * S * 8 <= (1 << 28):
+                    t0 = jnp.where(base3 >= 2**29, 0, base3)
+                    tp = jnp.pad(t0, ((0, 0), (0, 1), (0, 1), (0, 1)))
+                    rows3 = jnp.stack(
+                        [tp[:, bx : bx + S, by : by + S, bz : bz + S]
+                         for bx in (0, 1) for by in (0, 1) for bz in (0, 1)],
+                        axis=-1,
+                    )  # corner index c = 4*bx + 2*by + bz matches tri_corner
+                    self.d_tri8 = rows3.reshape(-1, 8)
+                else:
+                    # big cube stacks (fractional cover at kinase scale: 10
+                    # cubes x 278^3 x 8 = 6.4 GB) OOM if built in one shot —
+                    # the all-triangles stack plus its layout-retile copy
+                    # peaks at ~24 GB on a 16 GB chip.  Build per triangle
+                    # into a donated buffer: peak = buffer + one cube slice.
+                    from functools import partial
+
+                    @partial(jax.jit, donate_argnums=(0,))
+                    def _write(buf, piece, off):
+                        return jax.lax.dynamic_update_slice(
+                            buf, piece, (off, 0))
+
+                    buf = jnp.zeros((self.T3 * S * S * S, 8), dtype=jnp.int32)
+                    for ti in range(self.T3):
+                        c0 = jnp.where(base3[ti] >= 2**29, 0, base3[ti])
+                        cp = jnp.pad(c0, ((0, 1), (0, 1), (0, 1)))
+                        piece = jnp.stack(
+                            [cp[bx : bx + S, by : by + S, bz : bz + S]
+                             for bx in (0, 1) for by in (0, 1)
+                             for bz in (0, 1)],
+                            axis=-1,
+                        ).reshape(-1, 8)
+                        buf = _write(buf, piece, ti * S * S * S)
+                    self.d_tri8 = buf
             self.d_tri_off = jnp.asarray(
                 np.arange(self.T3, dtype=np.int32) * (S * S * S))
             self.d_w_h = jnp.asarray(heuristic.pair_weights_h_i())
             # matmul fallback for wide masks needs the 12-bit hi/lo split to
             # stay exact: table values must fit 24 bits
             if self.T3 * 8 * self.M > 4096:
-                mx = int(jnp.max(t0))
+                mx = int(jnp.max(jnp.where(base3 >= 2**29, 0, base3)))
                 if mx >= (1 << 24):
                     raise ValueError("triangle cube values exceed 24 bits")
                 ind3 = np.zeros((self.M, self.T3, 8), dtype=np.float32)

@@ -39,22 +39,38 @@ from mpi_pastar_msa_tpu.core.problem import problem_from_fasta  # noqa: E402
 from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic  # noqa: E402
 from mpi_pastar_msa_tpu.parallel.sharded import ShardedFrontierSearch  # noqa: E402
 
-problem = (problem_from_fasta("/root/reference/PF08184.fasta")
-           if pid == 0 else None)
+# measurement overrides (scripts/multiproc_bench.py); defaults reproduce the
+# PF08184 integration test exactly
+FASTA = os.environ.get("MSA_MH_FASTA", "/root/reference/PF08184.fasta")
+GOLD = int(os.environ.get("MSA_MH_GOLD", "24450"))
+BATCH = int(os.environ.get("MSA_MH_BATCH", "64"))
+CAP = int(os.environ.get("MSA_MH_CAP", str(1 << 14)))
+REPEATS = int(os.environ.get("MSA_MH_REPEATS", "1"))
+
+problem = problem_from_fasta(FASTA) if pid == 0 else None
 problem = broadcast_problem(problem, devices=cpus)
-assert problem.n_seq == 3
 
 h = HPairHeuristic.build(problem)
-eng = ShardedFrontierSearch(problem, h, devices=cpus, batch=64,
-                            capacity=1 << 14)
+eng = ShardedFrontierSearch(problem, h, devices=cpus, batch=BATCH,
+                            capacity=CAP)
 assert eng.multiprocess
-# the triple-wise heuristic must auto-enable on multi-process meshes too
-# (N=3: the single cube makes h exact)
-assert eng.st.T3 == 1, eng.st.T3
-res = eng.run()
-assert res.g == 24450, res.g
+if problem.n_seq == 3:
+    # the triple-wise heuristic must auto-enable on multi-process meshes too
+    # (N=3: the single cube makes h exact)
+    assert eng.st.T3 == 1, eng.st.T3
+import time  # noqa: E402
+
+walls = []
+res = None
+for _ in range(REPEATS):
+    t0 = time.perf_counter()
+    res = eng.run()
+    walls.append(round(time.perf_counter() - t0, 3))
+assert res.g == GOLD, res.g
 print(f"MULTIHOST_OK rank={pid} g={res.g} expanded={res.nodes_expanded} "
-      f"ndev={eng.ndev} T3={eng.st.T3}", flush=True)
+      f"ndev={eng.ndev} T3={eng.st.T3} migrated={res.nodes_migrated} "
+      f"steps={res.steps} walls={','.join(str(w) for w in walls)}",
+      flush=True)
 
 # exit hard: jax.distributed teardown can wedge at interpreter exit (gRPC
 # shutdown races between the two processes) — the success line is out, so a
