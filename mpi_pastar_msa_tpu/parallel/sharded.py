@@ -318,47 +318,74 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
     return init_jit, chunk_jit, goal_owner_np
 
 
-def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
-    NB = st.nbuck
-    ways = st.ways
-    Bmask = np.uint32(NB - 1)
-    parmask = np.int32((1 << st.nb) - 1)
+def _make_batched_walk(st: _Static, mesh: Mesh, ndev: int, lookup_factory,
+                       ntab: int, K: int = 8):
+    """Batched distributed backtrace: K-step 'walk while local' rounds.
 
-    def device_fn(t_sig, t_best, t_closed, start):
-        tmax = int(st.final_np.sum())
-        rs = jnp.arange(st.max_bprobes, dtype=jnp.uint32)
+    Round 1's walk paid one psum PER PATH STEP (kinase ~1,350 collectives —
+    fine on ICI, hostile over DCN).  Here each round the owner shard walks
+    the path LOCALLY for up to K hops — it keeps resolving parents until
+    ownership changes, the origin is reached, or K hops are done — then ONE
+    psum publishes the whole run (non-owners contribute zeros).  Collective
+    count drops from path-length to (#ownership-changes + path/K); with the
+    worst-case scattering hash it degrades to exactly the old one-per-step,
+    with locality hashes (FSUM/PSUM + shift) it approaches path/K.
 
-        def lookup(coord):
-            home, sigb = _sig_encode(st, coord[None, :])
-            bucks = ((home[0] + rs) & Bmask).astype(jnp.int32)  # (R,)
-            rows = t_sig[bucks]  # (R, 8)
-            hits = rows == (sigb[0] | rs)[:, None]
-            found = jnp.any(hits)
-            flat = jnp.argmax(hits.reshape(-1))
-            slot = bucks[flat // ways] * ways + (flat % ways).astype(jnp.int32)
-            val = jnp.where(found, t_best[slot] & parmask, 0)
-            # owner shard answers; psum broadcasts to everyone
-            val = jax.lax.psum(val, AXIS)
-            found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
-            return val, found
+    ``lookup_factory(tables) -> lookup(coord) -> (par, found)`` must be a
+    PURELY LOCAL probe of this shard's closed table (no collectives).
+    """
+    n = st.n
+    tmax = int(st.final_np.sum())
 
-        def scan_body(carry, _):
-            coord, done = carry
-            par, found = lookup(coord)
+    def device_fn(*args):
+        tables, start = args[:ntab], args[ntab]
+        lookup = lookup_factory(tables)
+        arange_n = jnp.arange(n)
+
+        def round_k(coord):
+            """Owner walks up to K local hops; one psum for the run."""
+            def inner(carry, _):
+                c, stop = carry
+                par, found = lookup(c)
+                at_origin = jnp.all(c == 0)
+                emit = ~stop & ~at_origin & found
+                mask = jnp.where(emit, par, 0)
+                bits = ((mask >> arange_n) & 1).astype(jnp.int32)
+                c = c - bits
+                stop = stop | at_origin | ~found
+                return (c, stop), mask
+
+            (_, _), masks = jax.lax.scan(inner, (coord, False), None,
+                                         length=K)
+            return jax.lax.psum(masks, AXIS)  # (K,), one shard's run
+
+        def cond(carry):
+            _, _, done, _ = carry
+            return ~done
+
+        def body(carry):
+            coord, pos, done, buf = carry
+            masks_k = round_k(coord)
+            emitted = jnp.sum((masks_k > 0).astype(jnp.int32))
+            buf = jax.lax.dynamic_update_slice(buf, masks_k, (pos,))
+
+            def app(c, m):
+                bits = ((m >> arange_n) & 1).astype(jnp.int32)
+                return c - bits, None
+
+            coord, _ = jax.lax.scan(app, coord, masks_k)
             at_origin = jnp.all(coord == 0)
-            emit = ~done & ~at_origin & found
-            mask = jnp.where(emit, par, 0)
-            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
-            coord = jnp.where(emit, coord - bits, coord)
-            done = done | at_origin | ~found
-            return (coord, done), mask
+            # no progress without reaching the origin = broken path: stop
+            # and let the host-side origin check raise
+            done = at_origin | (emitted == 0)
+            return coord, pos + emitted, done, buf
 
-        (coord_fin, _), masks = jax.lax.scan(
-            scan_body, (start, False), None, length=tmax
-        )
-        return masks, coord_fin
+        buf0 = jnp.zeros((tmax + K,), dtype=jnp.int32)
+        coord_fin, _, _, buf = jax.lax.while_loop(
+            cond, body, (start, jnp.int32(0), jnp.asarray(False), buf0))
+        return buf[:tmax], coord_fin
 
-    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
+    spec_tab = tuple(P(AXIS) for _ in range(ntab))
     fn = jax.shard_map(
         device_fn, mesh=mesh,
         in_specs=spec_tab + (P(None),),
@@ -366,6 +393,33 @@ def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
+    NB = st.nbuck
+    ways = st.ways
+    Bmask = np.uint32(NB - 1)
+    parmask = np.int32((1 << st.nb) - 1)
+    rs = np.arange(st.max_bprobes, dtype=np.uint32)
+
+    def lookup_factory(tables):
+        t_sig, t_best, t_closed = tables
+        rs_d = jnp.asarray(rs)
+
+        def lookup(coord):
+            home, sigb = _sig_encode(st, coord[None, :])
+            bucks = ((home[0] + rs_d) & Bmask).astype(jnp.int32)  # (R,)
+            rows = t_sig[bucks]  # (R, 8)
+            hits = rows == (sigb[0] | rs_d)[:, None]
+            found = jnp.any(hits)
+            flat = jnp.argmax(hits.reshape(-1))
+            slot = bucks[flat // ways] * ways + (flat % ways).astype(jnp.int32)
+            val = jnp.where(found, t_best[slot] & parmask, 0)
+            return val, found
+
+        return lookup
+
+    return _make_batched_walk(st, mesh, ndev, lookup_factory, ntab=3)
 
 
 def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
@@ -502,11 +556,11 @@ def _make_sharded_walk_packed(st: _Static, mesh: Mesh, ndev: int):
     C = st.C
     Cmask = np.uint32(C - 1)
     parmask = np.int32((1 << st.nb) - 1)
+    rs = np.arange(st.max_probes, dtype=np.uint32)
 
-    def device_fn(t_key, t_best, t_closed, start):
-        tmax = int(st.final_np.sum())
-        rs = jnp.arange(st.max_probes, dtype=jnp.uint32)
-        offs = (rs * (rs + jnp.uint32(1))) >> 1
+    def lookup_factory(tables):
+        t_key, t_best, t_closed = tables
+        offs = jnp.asarray((rs * (rs + np.uint32(1))) >> 1)
 
         def lookup(coord):
             key = _pack_keys(coord[None, :], st.W)[0]
@@ -519,35 +573,11 @@ def _make_sharded_walk_packed(st: _Static, mesh: Mesh, ndev: int):
             found = jnp.any(hits)
             slot = slots[jnp.argmax(hits)]
             val = jnp.where(found, t_best[slot] & parmask, 0)
-            # owner shard answers; psum broadcasts to everyone
-            val = jax.lax.psum(val, AXIS)
-            found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
             return val, found
 
-        def scan_body(carry, _):
-            coord, done = carry
-            par, found = lookup(coord)
-            at_origin = jnp.all(coord == 0)
-            emit = ~done & ~at_origin & found
-            mask = jnp.where(emit, par, 0)
-            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
-            coord = jnp.where(emit, coord - bits, coord)
-            done = done | at_origin | ~found
-            return (coord, done), mask
+        return lookup
 
-        (coord_fin, _), masks = jax.lax.scan(
-            scan_body, (start, False), None, length=tmax
-        )
-        return masks, coord_fin
-
-    spec_tab = (P(AXIS), P(AXIS), P(AXIS))
-    fn = jax.shard_map(
-        device_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None),),
-        out_specs=(P(None), P(None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+    return _make_batched_walk(st, mesh, ndev, lookup_factory, ntab=3)
 
 
 def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
@@ -680,8 +710,8 @@ def _make_sharded_walk(st: _Static, mesh: Mesh, ndev: int):
     C = st.C
     Cmask = np.uint32(C - 1)
 
-    def device_fn(t_key, t_g, t_f, t_par, t_state, start):
-        tmax = int(st.final_np.sum())
+    def lookup_factory(tables):
+        t_key, t_g, t_f, t_par, t_state = tables
 
         def lookup(coord):
             key = _pack_keys(coord[None, :], st.W)[0]
@@ -703,35 +733,11 @@ def _make_sharded_walk(st: _Static, mesh: Mesh, ndev: int):
             _, found, val = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), False, jnp.int32(0))
             )
-            # owner shard answers; psum broadcasts to everyone
-            val = jax.lax.psum(jnp.where(found, val, 0), AXIS)
-            found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
-            return val, found
+            return jnp.where(found, val, 0), found
 
-        def scan_body(carry, _):
-            coord, done = carry
-            par, found = lookup(coord)
-            at_origin = jnp.all(coord == 0)
-            emit = ~done & ~at_origin & found
-            mask = jnp.where(emit, par, 0)
-            bits = ((par >> jnp.arange(st.n)) & 1).astype(jnp.int32)
-            coord = jnp.where(emit, coord - bits, coord)
-            done = done | at_origin | ~found
-            return (coord, done), mask
+        return lookup
 
-        (coord_fin, _), masks = jax.lax.scan(
-            scan_body, (start, False), None, length=tmax
-        )
-        return masks, coord_fin
-
-    spec_tab = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
-    fn = jax.shard_map(
-        device_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None),),
-        out_specs=(P(None), P(None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+    return _make_batched_walk(st, mesh, ndev, lookup_factory, ntab=5)
 
 
 class ShardedFrontierSearch:

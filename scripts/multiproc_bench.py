@@ -66,6 +66,7 @@ def main() -> None:
         print("2-proc run failed:\n" + "\n".join(o[-500:] for o in outs),
               file=sys.stderr)
         sys.exit(1)
+    print("# stage1 " + json.dumps(rec), flush=True)
 
     # --- 1 process x 4 virtual devices (same mesh size, no process
     # boundary) --------------------------------------------------------
