@@ -83,8 +83,9 @@ def main() -> None:
                     "best_wall_s": round(min(walls), 4),
                     "nodes_per_s": round(res.nodes_expanded / min(walls)),
                 }
-                # per-shard expansion skew: the load-balance signal the
-                # reference tunes its 4 hash variants + shift for
+                # per-shard expansion skew + migration volume: the two
+                # signals the reference tunes its 4 hash variants + shift
+                # against — load balance vs remote-send traffic
                 # (ref: pastar/CoordHash.cpp:105-166)
                 stats = getattr(res, "shard_stats", None)
                 if stats:
@@ -92,6 +93,11 @@ def main() -> None:
                     rec["shard_expanded"] = exp
                     rec["skew_max_over_mean"] = round(
                         max(exp) / (sum(exp) / len(exp)), 4) if sum(exp) else 0.0
+                migr = getattr(res, "nodes_migrated", None)
+                if migr is not None:
+                    rec["nodes_migrated"] = int(migr)
+                    rec["migration_ratio"] = round(
+                        migr / max(1, res.nodes_expanded), 3)
                 print(json.dumps(rec), file=sink, flush=True)
 
 
