@@ -35,14 +35,18 @@ def main() -> None:
     devs = jax.devices("cpu")[:ndev]
     # default batch/capacity: 4096-wide shards on a 2-core host stall XLA's
     # 40 s CPU-collective rendezvous (8 participants time-share 2 cores)
-    eng = ShardedFrontierSearch(p, h, devices=devs, chunk_steps=16)
+    hash_type = sys.argv[2] if len(sys.argv) > 2 else "FZORDER"
+    hash_shift = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    eng = ShardedFrontierSearch(p, h, devices=devs, chunk_steps=16,
+                                hash_type=hash_type, hash_shift=hash_shift)
     t0 = time.perf_counter()
     res = eng.run()
     wall = time.perf_counter() - t0
     per = [int(row[0]) for row in res.shard_stats]
     mean = sum(per) / len(per)
     print(json.dumps({
-        "input": "kinase.fasta", "devices": ndev, "g": res.g,
+        "input": "kinase.fasta", "devices": ndev, "hash": hash_type,
+        "shift": hash_shift, "g": res.g,
         "steps": res.steps, "nodes_expanded": res.nodes_expanded,
         "nodes_migrated": res.nodes_migrated, "wall_s": round(wall, 1),
         "nodes_per_s": round(res.nodes_expanded / wall),

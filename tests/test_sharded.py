@@ -75,6 +75,36 @@ class TestShardedEngine:
         ).run()
         assert res.g == want
 
+    def test_tiny_exchange_cap_forces_carry_spill(self):
+        # a 1-slot per-destination wire makes nearly every migrant spill
+        # through the carry ring (retried next step, kept in the f bound) —
+        # the answer must be unchanged, only slower
+        p = problem_from_fasta(f"{REF}/PF08184.fasta")
+        h = HPairHeuristic.build(p)
+        res = ShardedFrontierSearch(
+            p, h, devices=_cpu_devices(4), exchange_cap=1,
+        ).run()
+        assert res.g == 24450
+        al = build_alignment(p, res.closed)
+        for row, s in zip(al, p.seqs):
+            assert row.replace("-", "") == s
+
+    def test_tiny_cap_matches_serial_random(self):
+        random.seed(23)
+        seqs = tuple(
+            "".join(random.choice("ACDEFGHIKLMNPQRSTVWY")
+                    for _ in range(random.randint(5, 9)))
+            for _ in range(4)
+        )
+        p = Problem(seqs)
+        h = HPairHeuristic.build(p)
+        want = SerialAStar(p, h).run().g
+        res = ShardedFrontierSearch(
+            p, h, devices=_cpu_devices(4), batch=32, capacity=1 << 13,
+            exchange_cap=2,
+        ).run()
+        assert res.g == want
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
