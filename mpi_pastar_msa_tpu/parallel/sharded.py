@@ -859,6 +859,10 @@ class ShardedFrontierSearch:
         else:
             self.layout = ("sig" if self.packed and self.st.sig_ok
                            else "packed" if self.packed else "unpacked")
+        self._make_fns()
+
+    def _make_fns(self) -> None:
+        hash_type, hash_shift = self.hash_type, self.hash_shift
         if self.layout == "sig":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_sig(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
@@ -905,6 +909,28 @@ class ShardedFrontierSearch:
         return np.asarray(arr.addressable_shards[0].data)
 
     def run(self) -> ShardedSearchResult:
+        """Run to the provably optimal goal; on table or exchange-carry
+        overflow, per-shard capacity and the exchange cap are doubled and
+        the search restarts — the functional analogue of the reference's
+        growing std::map closed lists (single-process only: a capacity
+        change means a fresh compile, and multi-process ranks would have to
+        agree on it — they get the hard error instead)."""
+        attempts = 0
+        while True:
+            try:
+                return self._run_once()
+            except RuntimeError as e:
+                if ("overflow" not in str(e) or attempts >= 2
+                        or self.multiprocess or self.st.C >= (1 << 23)):
+                    raise
+                attempts += 1
+                self.st = _Static(self.problem, self.heuristic, self.st.B,
+                                  self.st.C * 2, f0=self.st.f0)
+                self.exchange_cap = min(self.st.B * self.st.M,
+                                        self.exchange_cap * 2)
+                self._make_fns()
+
+    def _run_once(self) -> ShardedSearchResult:
         st = self.st
         root_h = np.array([self.heuristic.calculate_h(np.zeros(st.n, np.int32))],
                           dtype=np.int32)
