@@ -2,8 +2,11 @@
 
 Mirrors the reference's option surface (ref: pastar/msa_options.cpp:30-69):
   -t/--threads      -> shard count (device-lane count for the TPU engine)
-  -s/--hash_shift   -> owner-hash shift (default 12, pastar/include/CoordHash.h:9-12)
-  -y/--hash_type    -> FZORDER | FSUM | PZORDER | PSUM (default FZORDER)
+  -s/--hash_shift   -> owner-hash shift (reference default 12,
+                       pastar/include/CoordHash.h:9-12; here 4, set from the
+                       committed tuning sweep benchmarks/hash_tuning_synth5.jsonl)
+  -y/--hash_type    -> FZORDER | FSUM | PZORDER | PSUM (reference default
+                       FZORDER; here FSUM, same data)
   --memory_debug    -> keep interpreter cleanup (reference flips force_quit)
   positional        -> FASTA file (must be a regular file)
 
@@ -38,9 +41,10 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("fasta", help="input FASTA file")
     ap.add_argument("-t", "--threads", type=int, default=0,
                     help="shard count (0 = one per device)")
-    ap.add_argument("-s", "--hash_shift", type=int, default=12,
-                    help="owner-hash shift (default 12)")
-    ap.add_argument("-y", "--hash_type", choices=HASH_TYPES, default="FZORDER",
+    ap.add_argument("-s", "--hash_shift", type=int, default=4,
+                    help="owner-hash shift (default 4, from the committed "
+                         "tuning sweep; the reference defaults to 12)")
+    ap.add_argument("-y", "--hash_type", choices=HASH_TYPES, default="FSUM",
                     help="owner-hash strategy")
     ap.add_argument("--memory_debug", action="store_true",
                     help="strict-cleanup mode: drop all engine/heuristic "

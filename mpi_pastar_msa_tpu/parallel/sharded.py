@@ -745,7 +745,7 @@ class ShardedFrontierSearch:
     jax.distributed uses the same code path)."""
 
     def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
-                 devices=None, hash_type: str = "FZORDER", hash_shift: int = 12,
+                 devices=None, hash_type: str = "FSUM", hash_shift: int = 4,
                  batch: Optional[int] = None, capacity: Optional[int] = None,
                  max_steps: int = 500_000, chunk_steps: int = 256,
                  layout: str = "auto", exchange_cap: Optional[int] = None):

@@ -1916,7 +1916,7 @@ def _make_backtrace(st: _Static):
 
 class TpuFrontierSearch:
     def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
-                 n_devices: Optional[int] = None, hash_type: str = "FZORDER",
+                 n_devices: Optional[int] = None, hash_type: str = "FSUM",
                  hash_shift: int = 12, batch: Optional[int] = None,
                  capacity: Optional[int] = None, max_steps: int = 1_000_000,
                  chunk_steps: int = 64, snapshot_every: int = 0,

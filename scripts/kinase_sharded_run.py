@@ -33,11 +33,15 @@ def main() -> None:
     p = problem_from_fasta("/root/reference/kinase.fasta")
     h = HPairHeuristic.build(p)
     devs = jax.devices("cpu")[:ndev]
-    # default batch/capacity: 4096-wide shards on a 2-core host stall XLA's
-    # 40 s CPU-collective rendezvous (8 participants time-share 2 cores)
     hash_type = sys.argv[2] if len(sys.argv) > 2 else "FZORDER"
     hash_shift = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    # kinase's f<=f* shell is millions of states: the total-oriented auto
+    # capacity (2^23 across the mesh) runs the sig tables at ~60% load and
+    # probe chains crawl, and the strong-scaling auto batch (256/shard)
+    # quadruples the step count while the full-table select pass still
+    # dominates — size both explicitly like the round-2 proof run
     eng = ShardedFrontierSearch(p, h, devices=devs, chunk_steps=16,
+                                capacity=1 << 22, batch=2048,
                                 hash_type=hash_type, hash_shift=hash_shift)
     t0 = time.perf_counter()
     res = eng.run()
