@@ -97,8 +97,14 @@ def _smoke(extra: dict, timeout: float) -> bool:
            "last_stage": _last_stage(text)}
     if not ok:
         rec["tail"] = text[-400:]
-    for line in text.splitlines():  # pf wall rides along for the fallback row
-        if line.startswith("OK pf_sig"):
+    for line in text.splitlines():  # pf walls ride along for the fallback row
+        if line.startswith("OK pf_sig_search"):
+            for tok in line.split():
+                if tok.startswith("wall="):
+                    # search-only (second, warm run) — apples-to-apples with
+                    # pf_native_wall_s, which also times only the search
+                    extra["pf_tpu_search_wall_s"] = float(tok[5:].rstrip("s"))
+        elif line.startswith("OK pf_sig"):
             for tok in line.split():
                 if tok.startswith("wall="):
                     extra["pf_tpu_smoke_wall_s"] = float(tok[5:].rstrip("s"))
@@ -123,24 +129,47 @@ def _kinase_tpu(extra: dict, timeout: float):
            "last_stage": _last_stage(text)}
     result = None
     walls = {}
+    maxchunk = {}
     for line in text.splitlines():
         if line.startswith("KINASE_TPU"):
             kv = dict(tok.split("=") for tok in line.split()[1:])
             result = (float(kv["wall"]), int(kv["nodes"]))
             extra["kinase_triple_cubes"] = int(kv.get("cubes", 0))
+            if "maxchunk" in kv:
+                maxchunk["timed"] = float(kv["maxchunk"].rstrip("s"))
         else:
             for key in ("build", "warmup"):
                 if line.startswith(f"OK {key}"):
                     for tok in line.split():
                         if tok.startswith("wall="):
                             walls[key] = float(tok[5:].rstrip("s"))
+                        elif tok.startswith("maxchunk="):
+                            maxchunk[key] = float(tok[9:].rstrip("s"))
+    # poisoning detection (per-chunk telemetry from the engine): a backend
+    # blackout shows as ONE chunk of 30+ s; a cold number carrying such a
+    # stall is the backend's weather, not the engine — callers retry it
+    poisoned = any(v > 30.0 for v in maxchunk.values())
     if "warmup" in walls:
-        extra["kinase_tpu_warmup_wall_s"] = walls["warmup"]
-        extra["kinase_tpu_cold_wall_s"] = round(
-            walls.get("build", 0.0) + walls["warmup"], 1)
+        cold = round(walls.get("build", 0.0) + walls["warmup"], 1)
+        rec["cold_wall_s"] = cold
+        rec["maxchunk_s"] = {k: round(v, 1) for k, v in maxchunk.items()}
+        if poisoned:
+            rec["poisoned"] = True
+        prev = extra.get("kinase_tpu_cold_wall_s")
+        prev_p = extra.get("kinase_tpu_cold_poisoned", True)
+        # keep the best non-poisoned cold shot (each attempt is a fresh
+        # process against the same persistent cache, so min is honest)
+        if prev is None or (prev_p and not poisoned) or (
+                prev_p == poisoned and cold < prev):
+            extra["kinase_tpu_warmup_wall_s"] = walls["warmup"]
+            extra["kinase_tpu_cold_wall_s"] = cold
+            extra["kinase_tpu_cold_poisoned"] = poisoned
     if result is None and status != "timeout":
         rec["tail"] = text[-400:]
     extra.setdefault("kinase_tpu_attempts", []).append(rec)
+    if result is not None and maxchunk.get("timed", 0.0) > 30.0:
+        rec["timed_poisoned"] = True
+        result = ("poisoned", result)
     return result
 
 
@@ -211,7 +240,16 @@ def main() -> None:
     k_tpu = None
     if tpu_state != "absent":
         attempts = 0
-        while k_tpu is None and attempts < 3 and _remaining() > 400:
+        while attempts < 4 and _remaining() > 400:
+            # keep attempting while the timed number is missing OR either
+            # number (timed/cold) was blackout-poisoned — a retry is a fresh
+            # subprocess against the warm cache, so it costs ~1 min
+            have_clean_timed = k_tpu is not None
+            have_clean_cold = (
+                extra.get("kinase_tpu_cold_wall_s") is not None
+                and not extra.get("kinase_tpu_cold_poisoned", False))
+            if have_clean_timed and have_clean_cold:
+                break
             attempts += 1
             probe = _probe(extra)
             if probe == "absent":
@@ -219,13 +257,30 @@ def main() -> None:
             if probe != "ok":
                 time.sleep(min(60, max(0, _remaining() - 400)))
                 continue
-            k_tpu = _kinase_tpu(extra, timeout=min(900, _remaining() - 120))
+            res = _kinase_tpu(extra, timeout=min(900, _remaining() - 120))
+            if isinstance(res, tuple) and res and res[0] == "poisoned":
+                # timed run carried a blackout stall; keep it only as a
+                # fallback if no clean attempt lands
+                if k_tpu is None:
+                    k_tpu = res[1]
+                    extra["kinase_tpu_timed_poisoned"] = True
+            elif res is not None:
+                k_tpu = res
+                extra.pop("kinase_tpu_timed_poisoned", None)
 
     extra["bench_wall_s"] = round(_elapsed(), 1)
     if k_tpu is not None:
         k_tpu_wall, k_tpu_nodes = k_tpu
         extra["kinase_tpu_nodes_per_sec"] = round(k_tpu_nodes / k_tpu_wall)
         extra["kinase_tpu_nodes_expanded"] = k_tpu_nodes
+        # name the baseline so the vs_baseline time series is interpretable
+        # across rounds (r01 used native serial; r03+ uses the best config)
+        extra["baseline"] = (
+            f"native_mt_{extra['kinase_native_mt_threads']}threads"
+            if extra.get("kinase_native_mt_wall_s") is not None
+            and extra["kinase_native_mt_wall_s"] <= k_native_wall
+            else "native_serial")
+        extra["baseline_wall_s"] = round(k_best_native, 2)
         print(json.dumps({
             "metric": "kinase_wallclock_to_optimal_tpu",
             "value": round(k_tpu_wall, 2),
@@ -235,8 +290,15 @@ def main() -> None:
             "vs_baseline": round(k_best_native / k_tpu_wall, 3),
             "extra": extra,
         }))
-    elif extra.get("pf_tpu_smoke_wall_s"):
-        pf_wall = extra["pf_tpu_smoke_wall_s"]
+    elif extra.get("pf_tpu_search_wall_s") or extra.get("pf_tpu_smoke_wall_s"):
+        # prefer the search-only wall (same semantics as pf_native_wall_s);
+        # the build-inclusive smoke wall is a last resort and says so
+        pf_wall = extra.get("pf_tpu_search_wall_s")
+        if pf_wall:
+            extra["baseline"] = "native_serial_search_only"
+        else:
+            pf_wall = extra["pf_tpu_smoke_wall_s"]
+            extra["baseline"] = "native_serial_search_only_VS_build+search"
         print(json.dumps({
             "metric": "pf08184_wallclock_to_optimal_tpu",
             "value": round(pf_wall, 4),
@@ -245,6 +307,7 @@ def main() -> None:
             "extra": extra,
         }))
     else:
+        extra["baseline"] = "self"
         print(json.dumps({
             "metric": "kinase_wallclock_to_optimal_native_cpu",
             "value": round(k_native_wall, 2),

@@ -131,7 +131,10 @@ def run(argv=None) -> int:
             res = NativeAStar(problem, heuristic,
                               threads=max(1, args.threads)).run()
         closed = res.closed
-        stats = [(res.nodes_expanded, res.nodes_reopened, len(res.closed), res.open_size)]
+        # res.closed is the path-only dict for the backtrace renderer; the
+        # real closed-list size (per thread) comes from the engine counters
+        # (ref per-tid table: pastar/PAStar.cpp:591-619)
+        stats = res.thread_stats
     else:
         import jax
 

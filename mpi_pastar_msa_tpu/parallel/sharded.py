@@ -279,9 +279,13 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                                        (carry_fp >> st.nb) + st.f0, INF)
             # carried nodes keep their min-f in the bound so spilling never
             # fakes quiescence
+            # encode the overflow KIND: table overflow in the high half,
+            # carry-ring overflow in the low half (capped per shard/step;
+            # the loop exits on the first overflowing step, so the psum'd
+            # halves stay < 2^16 and the driver can retry each differently)
             goal_g, fmin_g, n_sel_g, ovf_g = _consensus(
                 goal_g, goal_l, jnp.minimum(fmin_l, carry_fabs), n_sel,
-                ovf_l + covf)
+                jnp.minimum(ovf_l, 1) * (1 << 16) + jnp.minimum(covf, 1))
             from ..search.engine import _adapt_thr
 
             thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
@@ -513,9 +517,13 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                                        (carry_fp >> st.nb) + st.f0, INF)
             # carried nodes keep their min-f in the bound so spilling never
             # fakes quiescence
+            # encode the overflow KIND: table overflow in the high half,
+            # carry-ring overflow in the low half (capped per shard/step;
+            # the loop exits on the first overflowing step, so the psum'd
+            # halves stay < 2^16 and the driver can retry each differently)
             goal_g, fmin_g, n_sel_g, ovf_g = _consensus(
                 goal_g, goal_l, jnp.minimum(fmin_l, carry_fabs), n_sel,
-                ovf_l + covf)
+                jnp.minimum(ovf_l, 1) * (1 << 16) + jnp.minimum(covf, 1))
             from ..search.engine import _adapt_thr
 
             thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
@@ -671,7 +679,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
             # min-f in the bound
             goal_g, fmin_g, n_sel_g, ovf_g = _consensus(
                 goal_g, goal_l, jnp.minimum(fmin_l, carry_fmin), n_sel,
-                ovf_l + covf)
+                jnp.minimum(ovf_l, 1) * (1 << 16) + jnp.minimum(covf, 1))
             from ..search.engine import _adapt_thr
 
             thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
@@ -848,6 +856,11 @@ class ShardedFrontierSearch:
         if exchange_cap is None:
             exchange_cap = 128 if self.ndev == 1 else min(
                 L_cand, max(256, (2 * L_cand) // self.ndev))
+        if int(exchange_cap) < 1:
+            raise ValueError(
+                f"exchange_cap must be >= 1 (got {exchange_cap}): a "
+                "zero-width wire delivers no migrants, so every remote "
+                "candidate would cycle the carry ring until it overflows")
         self.exchange_cap = int(exchange_cap)
         if self.layout_pref != "auto":
             self.layout = self.layout_pref
@@ -920,12 +933,20 @@ class ShardedFrontierSearch:
             try:
                 return self._run_once()
             except RuntimeError as e:
-                if ("overflow" not in str(e) or attempts >= 2
-                        or self.multiprocess or self.st.C >= (1 << 23)):
+                msg = str(e)
+                carry_only = "exchange-carry overflow" in msg
+                table_ovf = "hash table overflow" in msg
+                if ((not carry_only and not table_ovf) or attempts >= 3
+                        or self.multiprocess):
+                    raise
+                if table_ovf and self.st.C >= (1 << 23):
                     raise
                 attempts += 1
-                self.st = _Static(self.problem, self.heuristic, self.st.B,
-                                  self.st.C * 2, f0=self.st.f0)
+                if table_ovf:
+                    self.st = _Static(self.problem, self.heuristic, self.st.B,
+                                      self.st.C * 2, f0=self.st.f0)
+                # carry overflow is cheap to fix: double only the wire cap
+                # (no table growth, no C-based cutoff)
                 self.exchange_cap = min(self.st.B * self.st.M,
                                         self.exchange_cap * 2)
                 self._make_fns()
@@ -996,11 +1017,18 @@ class ShardedFrontierSearch:
         reopen = int(per_shard[:, 1].sum())
         n_open = int(per_shard[:, 3].sum())
         if ovf > 0:
+            # ovf encodes the kind: table overflow in the high 16 bits,
+            # carry-ring overflow in the low 16 (see the _consensus call)
+            t_ovf, c_ovf = ovf >> 16, ovf & 0xFFFF
+            if t_ovf:
+                raise RuntimeError(
+                    f"shard hash table overflow (per-shard capacity {st.C}"
+                    + (f"; also exchange-carry overflow, cap "
+                       f"{self.exchange_cap}" if c_ovf else "")
+                    + "); increase capacity")
             raise RuntimeError(
-                f"shard hash table or exchange-carry overflow (per-shard "
-                f"capacity {st.C}, exchange cap {self.exchange_cap}); "
-                f"increase capacity / exchange_cap"
-            )
+                f"exchange-carry overflow (exchange cap "
+                f"{self.exchange_cap}); increase exchange_cap")
         if steps >= self.max_steps and fmin_v < goal_v:
             raise RuntimeError("max_steps exceeded")
         if goal_v >= int(INF):

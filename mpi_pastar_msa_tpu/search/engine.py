@@ -1917,7 +1917,7 @@ def _make_backtrace(st: _Static):
 class TpuFrontierSearch:
     def __init__(self, problem: Problem, heuristic: Optional[HPairHeuristic] = None,
                  n_devices: Optional[int] = None, hash_type: str = "FSUM",
-                 hash_shift: int = 12, batch: Optional[int] = None,
+                 hash_shift: int = 4, batch: Optional[int] = None,
                  capacity: Optional[int] = None, max_steps: int = 1_000_000,
                  chunk_steps: int = 64, snapshot_every: int = 0,
                  driver: str = "chunked", checkpoint_path: Optional[str] = None,
@@ -2317,6 +2317,10 @@ class TpuFrontierSearch:
         chunks_done = 0
         chunk_now = self.chunk_steps
         import time as _time
+        # per-chunk wall clocks: a backend blackout shows up as ONE chunk
+        # taking 30-200+ s among ~0.5 s neighbours, which lets callers
+        # (bench.py) tell a poisoned measurement from a slow engine
+        self.last_chunk_walls = []
         while True:
             try:
                 if self.snapshot_every and chunks_done % self.snapshot_every == 0:
@@ -2331,6 +2335,7 @@ class TpuFrontierSearch:
                 )
                 stats_np = np.asarray(counters)  # 1 small transfer per chunk
                 _dt = _time.perf_counter() - _t0
+                self.last_chunk_walls.append(_dt)
                 # keep each dispatch well under the remote-worker watchdog
                 if _dt > 20 and chunk_now > 8:
                     chunk_now = max(8, chunk_now // 2)

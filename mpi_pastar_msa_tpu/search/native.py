@@ -95,6 +95,7 @@ def _get_lib_mt():
             i32p, i32p,                                          # out g/h
             i32p, i32p,                                          # out masks/len
             ctypes.POINTER(ctypes.c_int64),                      # out stats
+            ctypes.POINTER(ctypes.c_int64),                      # out per-thread stats
         ]
         _lib_mt_handle = lib
     return _lib_mt_handle
@@ -110,6 +111,9 @@ class NativeResult:
     nodes_reopened: int
     open_size: int
     closed_size: int
+    # per-thread (expanded, reopened, closed, open) rows — the reference's
+    # per-tid node table (ref: pastar/PAStar.cpp:591-619); one row when serial
+    thread_stats: Optional[list] = None
 
 
 class NativeAStar:
@@ -160,8 +164,10 @@ class NativeAStar:
             return a.ctypes.data_as(ctypes.POINTER(t))
 
         enc_c = np.ascontiguousarray(enc)
+        tstats = None
         if self.threads > 1:
             mt = _get_lib_mt()
+            tstats = np.zeros(4 * self.threads, dtype=np.int64)
             rc = mt.astar_search_mt(
                 n, P, W,
                 ptr(final, ctypes.c_uint16),
@@ -175,7 +181,7 @@ class NativeAStar:
                 self.threads, self.hash_shift,
                 ptr(out_g, ctypes.c_int32), ptr(out_h, ctypes.c_int32),
                 ptr(out_masks, ctypes.c_int32), ptr(out_len, ctypes.c_int32),
-                ptr(out_stats, ctypes.c_int64),
+                ptr(out_stats, ctypes.c_int64), ptr(tstats, ctypes.c_int64),
             )
         else:
             rc = lib.astar_search(
@@ -205,9 +211,19 @@ class NativeAStar:
             closed[coord] = (0, mv)
             coord = tuple(coord[i] - ((mv >> i) & 1) for i in range(n))
 
+        if tstats is not None:
+            # C rows are (expanded, reopened, open, closed); reorder to the
+            # CLI's (expanded, reopened, closed, open) row convention
+            rows = [(int(tstats[4 * t]), int(tstats[4 * t + 1]),
+                     int(tstats[4 * t + 3]), int(tstats[4 * t + 2]))
+                    for t in range(self.threads)]
+        else:
+            rows = [(int(out_stats[0]), int(out_stats[1]),
+                     int(out_stats[3]), int(out_stats[2]))]
         return NativeResult(
             g=int(out_g[0]), h=int(out_h[0]), f=int(out_g[0]) + int(out_h[0]),
             closed=closed,
             nodes_expanded=int(out_stats[0]), nodes_reopened=int(out_stats[1]),
             open_size=int(out_stats[2]), closed_size=int(out_stats[3]),
+            thread_stats=rows,
         )

@@ -472,6 +472,9 @@ out:
 /*
  * Multithreaded search entry.  Same contract as astar_search plus
  * n_threads/hash_shift; out_stats = {expanded, reopened, open, closed}.
+ * out_tstats (nullable) receives the same 4 counters PER THREAD
+ * (4*n_threads values), mirroring the reference's per-tid node table
+ * (ref: pastar/PAStar.cpp:591-619).
  */
 int64_t astar_search_mt(
     int n, int n_pairs, int W,
@@ -486,7 +489,7 @@ int64_t astar_search_mt(
     int n_threads, int hash_shift,
     int32_t *out_g, int32_t *out_h,
     int32_t *out_masks, int32_t *out_masks_len,
-    int64_t *out_stats)
+    int64_t *out_stats, int64_t *out_tstats)
 {
     if (n_threads < 1) n_threads = 1;
     MtShared sh;
@@ -623,6 +626,12 @@ int64_t astar_search_mt(
             reo += sh.workers[t].reopened;
             open += sh.workers[t].heap.len;
             closed += sh.workers[t].map.used;
+            if (out_tstats) {
+                out_tstats[4 * t + 0] = sh.workers[t].expanded;
+                out_tstats[4 * t + 1] = sh.workers[t].reopened;
+                out_tstats[4 * t + 2] = sh.workers[t].heap.len;
+                out_tstats[4 * t + 3] = sh.workers[t].map.used;
+            }
         }
         out_stats[0] = exp;
         out_stats[1] = reo;

@@ -41,16 +41,22 @@ def main() -> None:
     t0 = time.perf_counter()
     r = eng.run()
     assert r.g == KINASE_G, r.g
-    print(f"OK warmup g={r.g} wall={time.perf_counter() - t0:.1f}s", flush=True)
+    # maxchunk: largest single-chunk wall — a backend blackout shows as one
+    # chunk of 30-200+ s among ~0.5 s neighbours, so bench.py can tell a
+    # poisoned warmup (and retry the fresh-process cold shot) from a slow one
+    walls = getattr(eng, "last_chunk_walls", []) or [0.0]
+    print(f"OK warmup g={r.g} wall={time.perf_counter() - t0:.1f}s "
+          f"maxchunk={max(walls):.1f}s chunks={len(walls)}", flush=True)
 
     print("STAGE timed run", flush=True)
     t0 = time.perf_counter()
     r = eng.run()
     wall = time.perf_counter() - t0
     assert r.g == KINASE_G, r.g
+    walls = getattr(eng, "last_chunk_walls", []) or [0.0]
     cubes = len(getattr(eng.heuristic, "triangles", []) or [])
     print(f"KINASE_TPU wall={wall:.3f} nodes={r.nodes_expanded} "
-          f"cubes={cubes}", flush=True)
+          f"cubes={cubes} maxchunk={max(walls):.1f}", flush=True)
 
 
 if __name__ == "__main__":

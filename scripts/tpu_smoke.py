@@ -52,6 +52,13 @@ def main() -> None:
     print(f"OK pf_sig g={res.g} layout={eng.layout} "
           f"wall={time.perf_counter() - t0:.1f}s", flush=True)
 
+    # search-only wall (second run, engine warm): apples-to-apples with the
+    # native baseline's search-only timing for bench.py's fallback row
+    t0 = time.perf_counter()
+    res = eng.run()
+    assert res.g == 24450, res.g
+    print(f"OK pf_sig_search wall={time.perf_counter() - t0:.3f}s", flush=True)
+
     # test2: a deeper search (reopen/width-tier paths get real traffic)
     print("STAGE test2", flush=True)
     t2 = problem_from_fasta("/root/reference/test2.fasta")
