@@ -152,14 +152,19 @@ def run(argv=None) -> int:
                 if args.triples == "off":
                     heuristic = getattr(heuristic, "base", heuristic)
                 elif args.triples == "fractional":
-                    # the sharded engine has no scaled-cost descale path:
-                    # refuse loudly rather than silently running a weaker
-                    # bound than the one the user requested
-                    print("error: --triples fractional is single-device "
-                          "only (the sharded engine cannot descale the "
-                          "(n-2)-scaled cost algebra); use --triples on",
-                          file=sys.stderr)
-                    return 2
+                    # sharded-cube store + descale path make the fractional
+                    # cover multi-device capable (the stack shards by
+                    # triangle, so per-device memory SHRINKS with the mesh)
+                    from .heuristic.triples import HTriples
+
+                    ht = HTriples.build(heuristic, device=devs[0],
+                                        fractional=True,
+                                        budget_bytes=10 << 30)
+                    if ht is None:
+                        print("error: fractional triples not applicable to "
+                              "this input", file=sys.stderr)
+                        return 2
+                    heuristic = ht
                 elif (args.triples == "on"
                       and not hasattr(heuristic, "triangles")):
                     from .heuristic.triples import HTriples

@@ -20,6 +20,31 @@ from .pairwise import all_pair_tables, stack_pair_tables
 from .weights import altschul_rationale2
 
 
+def _tpu_is_default() -> bool:
+    """True when jitted work would land on a real TPU.
+
+    The axon TPU plugin registers even under JAX_PLATFORMS=cpu, so the test
+    conftest pins jax_default_device to a CPU device — honour that pin
+    first, then fall back to the backend-priority default."""
+    try:
+        import jax
+
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", "cpu") != "cpu"
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _pallas_fits(problem: Problem, vmem_budget: int = 12 << 20) -> bool:
+    """Does one pair's diagonal-major working set fit VMEM?"""
+    lmax = problem.max_length
+    L1p = ((lmax + 1 + 127) // 128) * 128
+    D = 2 * lmax + 1
+    return (2 * D + 1) * L1p * 4 <= vmem_budget
+
+
 @dataclass(frozen=True)
 class HPairHeuristic:
     problem: Problem
@@ -33,15 +58,43 @@ class HPairHeuristic:
 
         backend="host":   NumPy anti-diagonal DP (reference-exact oracle).
         backend="device": batched JAX wavefront over all pairs at once
-                          (TPU-native Phase 1; removes the reference's serial
-                          per-pair loop and its MAX_SEQ_SIZE cap).
-        backend="auto":   device for long sequences (host DP is O(P*L^2)
-                          NumPy — fine to ~1000, the reference's own cap),
-                          host otherwise.
+                          (lax.scan; TPU-native Phase 1, removes the
+                          reference's serial per-pair loop and its
+                          MAX_SEQ_SIZE cap).
+        backend="pallas": hand-scheduled Pallas wavefront kernel — the
+                          production Phase 1 on real TPU hardware (rolling
+                          diagonals in VMEM, no HBM carry round-trips).
+        backend="auto":   pallas when the default device is a TPU and the
+                          diagonals fit VMEM; the scan wavefront for longer
+                          sequences; host NumPy for small inputs / CPU.
         """
         if backend == "auto":
-            backend = "device" if problem.max_length > 1000 else "host"
-        if backend == "device":
+            if _tpu_is_default() and problem.max_length >= 96:
+                backend = "pallas" if _pallas_fits(problem) else "device"
+            elif problem.max_length > 1000:
+                backend = "device"
+            else:
+                backend = "host"
+        if backend == "pallas":
+            from .wavefront_pallas import pair_tables_pallas
+
+            try:
+                stacked = pair_tables_pallas(problem)
+            except Exception as e:  # noqa: BLE001 - Mosaic/backend regression
+                import warnings
+
+                warnings.warn(
+                    f"Pallas wavefront failed ({type(e).__name__}: {e}); "
+                    "falling back to the scan wavefront", RuntimeWarning,
+                    stacklevel=2)
+                from .wavefront import pair_tables_device
+
+                stacked = pair_tables_device(problem)
+            tables = tuple(
+                stacked[k, : len(problem.seqs[x]) + 1, : len(problem.seqs[y]) + 1]
+                for k, (x, y) in enumerate(problem.pairs())
+            )
+        elif backend == "device":
             from .wavefront import pair_tables_device
 
             stacked = pair_tables_device(problem)

@@ -166,6 +166,68 @@ def _route_cap(ndev: int, cap: int, dest, fsort, others, carry, fills):
     return received, new_carry, carry_ovf, carry_fmin
 
 
+def _make_tri_partial(st: _Static, ndev: int):
+    """Per-shard partial triangle-h for a GLOBAL (all-gathered) batch.
+
+    The cube stack is sharded BY TRIANGLE across the mesh (each device holds
+    ceil(T/ndev) cubes; VERDICT r3 item 3 — replication capped multi-chip
+    memory exactly where multi-chip should create it).  h = sum_t h_t is a
+    sum over triangles, so each shard computes its local cubes' contribution
+    for EVERY shard's selected batch and a psum_scatter returns each shard
+    its own nodes' totals.  Per-shard gather work is gB * T_loc = B * T —
+    identical to the replicated path; the extra cost is one all_gather of
+    coords (gB*N i32, tiny) and one reduce-scatter of (gB, M+1) i32.
+
+    Padding triangles (T..T_pad) point at zero-filled cube rows, so their
+    contribution is 0 without masking.
+
+    Returns fn(coords_g (gB, N), tri8_loc (T_loc*S^3, 8), me)
+      -> (gB, M+1) int32: columns [0:M] = per-move-mask h3, column M = the
+         parent's own-coordinate h3 (corner 0).
+    """
+    T, S, M = st.T3, st.S, st.M
+    T_loc = -(-T // ndev)
+    T_pad = T_loc * ndev
+    tx = np.zeros(T_pad, np.int32)
+    ty = np.zeros(T_pad, np.int32)
+    tz = np.zeros(T_pad, np.int32)
+    tx[:T] = st.tri_x
+    ty[:T] = st.tri_y
+    tz[:T] = st.tri_z
+    corner = np.zeros((T_pad, M), np.int32)
+    corner[:T] = st.tri_corner
+    d_tx, d_ty, d_tz = jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tz)
+    d_corner = jnp.asarray(corner)
+
+    def tri_partial(coords_g, tri8_loc, me):
+        gB = coords_g.shape[0]
+        ids = me * T_loc + jnp.arange(T_loc, dtype=jnp.int32)
+        txl, tyl, tzl = d_tx[ids], d_ty[ids], d_tz[ids]
+        c3x = jnp.clip(jnp.take(coords_g, txl, axis=1), 0, S - 2)  # (gB, T_loc)
+        c3y = jnp.clip(jnp.take(coords_g, tyl, axis=1), 0, S - 2)
+        c3z = jnp.clip(jnp.take(coords_g, tzl, axis=1), 0, S - 2)
+        off = (jnp.arange(T_loc, dtype=jnp.int32) * (S * S * S))[None, :]
+        idx3 = off + (c3x * S + c3y) * S + c3z
+        rows3 = jnp.take(tri8_loc, idx3, axis=0)  # (gB, T_loc, 8)
+        cornl = jnp.broadcast_to(d_corner[ids][None], (gB, T_loc, M))
+        contrib = jnp.take_along_axis(rows3, cornl, axis=2)  # (gB, T_loc, M)
+        h3 = jnp.sum(contrib, axis=1)  # (gB, M)
+        h3_par = jnp.sum(rows3[:, :, 0], axis=1)  # (gB,)
+        return jnp.concatenate([h3, h3_par[:, None]], axis=1)
+
+    return tri_partial, T_loc, T_pad
+
+
+def _sharded_h3(st: _Static, tri_partial, coords, tri8_loc, me):
+    """all_gather -> local partial -> psum_scatter; returns _expand's h3."""
+    M = st.M
+    coords_g = jax.lax.all_gather(coords, AXIS, tiled=True)  # (gB, N)
+    part = tri_partial(coords_g, tri8_loc, me)  # (gB, M+1)
+    mine = jax.lax.psum_scatter(part, AXIS, scatter_dimension=0,
+                                tiled=True)  # (B, M+1)
+    return (mine[:, :M], mine[:, M])
+
+
 def _consensus(goal_g, goal_l, fmin_l, n_sel, ovf_step):
     """One fused collective for the per-step consensus: min goal candidate,
     global min f, total selected, total overflow (the two MPI_Allreduce
@@ -187,13 +249,17 @@ def _u32(x):
 
 
 def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
-                          hash_type: str, hash_shift: int, cap: int):
+                          hash_type: str, hash_shift: int, cap: int,
+                          shard_cubes: bool = False):
     """Bucketed-sig sharded search (see engine.py sig-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
     goal_owner_np = int(own(st.final_np[None, :])[0])
     Ccar = st.B * st.M  # carry ring absorbs a full step's candidate output
     carry_fill = np.array([ndev, INFP, 0, -1], dtype=np.int32)
+    tri_partial = None
+    if shard_cubes and st.T3:
+        tri_partial, _, _ = _make_tri_partial(st, ndev)
 
     def init_fn(root_h_arr):
         dev = jax.lax.axis_index(AXIS)
@@ -233,9 +299,11 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
              n_open, migr, ovf, local) = carry
             tab, coords, f_sel, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_sig(st, tab, goal_g, thr))
+            h3 = (None if tri_partial is None
+                  else _sharded_h3(st, tri_partial, coords, tri8, me))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
                 st, coords, f_sel, par, active, None, htab, henc, g_is_f=True,
-                tri8=tri8,
+                tri8=None if h3 is not None else tri8, h3=h3,
             )
             valid = valid & (f_c <= ub[0])
             packed = ((f_c - st.f0) << st.nb) | mask_c
@@ -313,9 +381,12 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
         init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
         check_vma=False,
     ))
+    # with sharded cubes the tri8 argument (last) is P(AXIS): each shard
+    # holds only its T_loc cubes' corner rows
+    tri_spec = P(AXIS) if tri_partial is not None else P(None)
     chunk_jit = jax.jit(jax.shard_map(
         chunk_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None),) * 7,
+        in_specs=spec_tab + (P(None),) * 6 + (tri_spec,),
         out_specs=spec_tab + (P(None), P(None)),
         check_vma=False,
     ), donate_argnums=(0, 1, 2, 3))
@@ -427,7 +498,8 @@ def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
 
 
 def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
-                             hash_type: str, hash_shift: int, cap: int):
+                             hash_type: str, hash_shift: int, cap: int,
+                             shard_cubes: bool = False):
     """Packed-layout sharded search (see engine.py packed-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
@@ -436,6 +508,9 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
     # wire = packed + h + W key words (carry rows lead with [dest, packed])
     CW = 3 + st.W
     carry_fill = np.array([ndev, INFP, 0] + [-1] * st.W, dtype=np.int32)
+    tri_partial = None
+    if shard_cubes and st.T3:
+        tri_partial, _, _ = _make_tri_partial(st, ndev)
 
     def init_fn(root_h_arr):
         dev = jax.lax.axis_index(AXIS)
@@ -478,8 +553,11 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
              n_open, migr, ovf, local) = carry
             tab, coords, g, par, active, fmin_l, n_open_l, n_sel, reopen_ct = (
                 _select_packed(st, tab, goal_g, thr))
+            h3 = (None if tri_partial is None
+                  else _sharded_h3(st, tri_partial, coords, tri8, me))
             keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = _expand(
-                st, coords, g, par, active, None, htab, henc, tri8=tri8
+                st, coords, g, par, active, None, htab, henc,
+                tri8=None if h3 is not None else tri8, h3=h3,
             )
             valid = valid & (f_c <= ub[0])
             packed = ((f_c - st.f0) << st.nb) | mask_c
@@ -551,9 +629,10 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
         init_fn, mesh=mesh, in_specs=(P(None),), out_specs=spec_tab,
         check_vma=False,
     ))
+    tri_spec = P(AXIS) if tri_partial is not None else P(None)
     chunk_jit = jax.jit(jax.shard_map(
         chunk_fn, mesh=mesh,
-        in_specs=spec_tab + (P(None),) * 7,
+        in_specs=spec_tab + (P(None),) * 6 + (tri_spec,),
         out_specs=spec_tab + (P(None), P(None)),
         check_vma=False,
     ), donate_argnums=(0, 1, 2, 3))
@@ -756,15 +835,11 @@ class ShardedFrontierSearch:
                  devices=None, hash_type: str = "FSUM", hash_shift: int = 4,
                  batch: Optional[int] = None, capacity: Optional[int] = None,
                  max_steps: int = 500_000, chunk_steps: int = 256,
-                 layout: str = "auto", exchange_cap: Optional[int] = None):
+                 layout: str = "auto", exchange_cap: Optional[int] = None,
+                 shard_cubes: str = "auto"):
         self.layout_pref = layout
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
-        if getattr(self.heuristic, "cost_scale", 1) != 1:
-            raise ValueError(
-                "fractional (scaled-cost) triple covers are single-chip "
-                "only for now; pass the cherry-cover HTriples or the base "
-                "heuristic to the sharded engine")
         if devices is None:
             devices = jax.devices()
         self.devices = list(devices)
@@ -848,6 +923,34 @@ class ShardedFrontierSearch:
                        and (self.ub - f0 + 64) < budget)
 
         self.st = _Static(problem, self.heuristic, batch, capacity, f0=f0)
+
+        # cube store placement (VERDICT r3 item 3): replicating the triangle
+        # cube stack per device caps multi-chip memory headroom exactly where
+        # multi-chip should create it (kinase fractional: 6.9 GB/device).
+        # shard_cubes shards the stack BY TRIANGLE over the mesh and computes
+        # h via partial sums + psum_scatter (see _make_tri_partial).
+        if shard_cubes == "auto":
+            self.shard_cubes = self.ndev > 1 and self.st.T3 > 0
+        else:
+            self.shard_cubes = bool(shard_cubes) and self.st.T3 > 0
+        self._tri8_sharded = None
+        S = self.st.S
+        if self.shard_cubes:
+            T = self.st.T3
+            T_loc = -(-T // self.ndev)
+            T_pad = T_loc * self.ndev
+            from jax.sharding import NamedSharding
+
+            host = np.zeros((T_pad * S * S * S, 8), np.int32)
+            host[: T * S * S * S] = np.asarray(self.st.d_tri8)
+            sh = NamedSharding(self.mesh, P(AXIS))
+            self._tri8_sharded = jax.make_array_from_callback(
+                host.shape, sh, lambda idx: host[idx])
+            del host
+            self.cube_bytes_per_device = T_loc * S ** 3 * 8 * 4
+        else:
+            self.cube_bytes_per_device = self.st.T3 * S ** 3 * 8 * 4
+
         # per-destination exchange capacity: the received total ndev*cap
         # stays ~2 candidate-widths regardless of device count (see
         # _route_cap); self-owned candidates never ride the wire, so cap
@@ -876,17 +979,22 @@ class ShardedFrontierSearch:
 
     def _make_fns(self) -> None:
         hash_type, hash_shift = self.hash_type, self.hash_shift
+        if self.shard_cubes:
+            # the sharded cube array supersedes the per-device replica that
+            # _Static builds; drop it so each device holds only its slice
+            # (run()'s overflow retry rebuilds _Static, hence re-drop here)
+            self.st.d_tri8 = jnp.zeros((1, 8), dtype=jnp.int32)
         if self.layout == "sig":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_sig(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap
+                self.exchange_cap, shard_cubes=self.shard_cubes
             )
             self._walk = _make_sharded_walk_sig(self.st, self.mesh, self.ndev)
             self._ntab = 3
         elif self.layout == "packed":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_packed(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap
+                self.exchange_cap, shard_cubes=self.shard_cubes
             )
             self._walk = _make_sharded_walk_packed(self.st, self.mesh, self.ndev)
             self._ntab = 3
@@ -931,7 +1039,24 @@ class ShardedFrontierSearch:
         attempts = 0
         while True:
             try:
-                return self._run_once()
+                res = self._run_once()
+                scale = getattr(self.heuristic, "cost_scale", 1)
+                if scale > 1:
+                    # fractional cover ran the search in (n-2)-scaled cost
+                    # units (see HTriples.weight_i); descale like the
+                    # single-chip engine does
+                    res = ShardedSearchResult(
+                        g=res.g // scale, h=res.h // scale,
+                        f=res.f // scale,
+                        closed={c: (g // scale, m)
+                                for c, (g, m) in res.closed.items()},
+                        nodes_expanded=res.nodes_expanded,
+                        nodes_reopened=res.nodes_reopened,
+                        open_size=res.open_size, steps=res.steps,
+                        shard_stats=res.shard_stats,
+                        nodes_migrated=res.nodes_migrated,
+                    )
+                return res
             except RuntimeError as e:
                 msg = str(e)
                 carry_only = "exchange-carry overflow" in msg
@@ -979,8 +1104,11 @@ class ShardedFrontierSearch:
         htab_g = self._rep(np.asarray(
             st.d_tables4 if self.layout != "unpacked" else st.d_tables))
         henc_g = self._rep(np.asarray(st.d_enc))
-        tri8_g = (st.d_tri8 if not self.multiprocess
-                  else self._rep(np.asarray(st.d_tri8)))
+        if self.shard_cubes:
+            tri8_g = self._tri8_sharded  # P(AXIS): T_loc cubes per device
+        else:
+            tri8_g = (st.d_tri8 if not self.multiprocess
+                      else self._rep(np.asarray(st.d_tri8)))
         chunk_now = self.chunk_steps
         nt = self._ntab + 1  # tables + the exchange-carry ring
         import time as _time

@@ -454,12 +454,19 @@ def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
-            htab=None, henc=None, g_is_f=False, tri8=None):
+            htab=None, henc=None, g_is_f=False, tri8=None, h3=None):
     """Expand a batch: (B, N) coords -> all-mask successor candidates.
 
     With ``g_is_f`` the g argument is the parent's f; the parent's h is
     recovered for free from the T4 heuristic gather (the k=0 cell is the
     table value at the parent's own pair coordinate) and g = f - h.
+
+    ``h3``: optional externally-computed triangle contribution
+    ``(h3_children (B, M), h3_parent (B,))`` — used by the sharded engine
+    when the cube stack is SHARDED by triangle across the mesh (each shard
+    computes partial sums for its local cubes and psums; see
+    parallel/sharded._tri_partial).  When given, the internal tri8 gather
+    path is skipped entirely.
 
     Returns flat (B*M,) candidate arrays: keys (B*M, W), g, f, move mask, valid.
     """
@@ -540,7 +547,9 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
     h = (h_hi.astype(jnp.int32) << 12) + h_lo.astype(jnp.int32)  # (B, M)
 
     rows3 = None
-    if st.T3:
+    if h3 is not None:
+        h = h + h3[0]
+    elif st.T3:
         # joint triangle terms: one contiguous 8-word row gather per
         # (node, triangle) — the cube's corner-row layout mirrors d_tables4
         c3x = jnp.clip(jnp.stack([coords[:, i] for i in st.tri_x], axis=1), 0, S - 2)
@@ -575,7 +584,9 @@ def _expand(st: _Static, coords, g, parenti, active, f_parent=None,
         # h(parent) = sum_p w_p * table_p[cx, cy] — exactly t4w's k=0 cell —
         # plus each triangle cube's own-coordinate corner (c = 0)
         h_par = jnp.sum(t4w[:, :, 0], axis=1)  # (B,) int32, exact
-        if rows3 is not None:
+        if h3 is not None:
+            h_par = h_par + h3[1]
+        elif rows3 is not None:
             h_par = h_par + jnp.sum(rows3[:, :, 0], axis=1)
         g = g - h_par
 
@@ -1287,21 +1298,62 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
                   store))
         return place_at(store, un, dn, slot, packed)
 
+    def staged(rows, live, store, width_tail):
+        """2 bounded calls at the rows' width, then a compacted narrow tail.
+
+        Mid-search (new-key-heavy) the old shape looped at the stage width
+        until EVERY lane settled — measured 11.7 ms/step insert on kinase,
+        78% of the step (profile_step.py r4).  A write call + one confirm
+        call settle ~95% of lanes; only write-race losers and full-bucket
+        chains remain, so the tail runs at 1/8 width where each round is
+        8-32x cheaper.  Placement is idempotent (scatter-MIN of the packed
+        word), so settled lanes place per stage and only unsettled lanes
+        carry forward.
+        """
+        Wd = rows.shape[0]
+        idx = jnp.arange(Wd, dtype=jnp.uint32)
+        first = make_body(rows, idx, step_tag, use_rec_row=True)
+        carry = first((jnp.int32(0), ~live,
+                       jnp.full((Wd,), C, dtype=jnp.int32), store))
+        second = make_body(rows, idx, step_tag)
+        k2, dn2, slot2, store = second(carry)
+        store, _ = place_at(store, live & dn2, dn2, slot2, rows[:, 2])
+        un2 = live & ~dn2
+        Mb = max(width_tail, 512)
+        if Mb >= Wd:
+            k, dn, slot, store = run_loop(second, (k2, dn2, slot2, store))
+            return place_at(store, un2, dn, slot, rows[:, 2])
+        nvB = _prefix_sum(un2.astype(jnp.int32))
+        fitsB = nvB[-1] <= Mb
+
+        def tail_narrow(store):
+            rowsB, okB, _ = _compact_gather(un2, nvB, Mb, rows)
+            # fresh-gather body only: the carried round-0 bucket rows are
+            # STALE after calls 1-2 wrote t_sig — a stale empty way could
+            # overwrite a live entry (use_rec_row is only sound before the
+            # first t_sig write)
+            idxB = jnp.arange(Mb, dtype=jnp.uint32)
+            bodyB = make_body(rowsB, idxB, step_tag)
+            _, bdone, bslot, store = run_loop(
+                bodyB, (jnp.int32(0), ~okB,
+                        jnp.full((Mb,), C, dtype=jnp.int32), store))
+            return place_at(store, okB, bdone, bslot, rowsB[:, 2])
+
+        def tail_wide(store):
+            k, dn, slot, store = run_loop(second, (k2, dn2, slot2, store))
+            return place_at(store, un2, dn, slot, rows[:, 2])
+
+        return jax.lax.cond(fitsB, tail_narrow, tail_wide, store)
+
     nvA = _prefix_sum(un.astype(jnp.int32))
     fitsA = nvA[-1] <= Ma
 
     def tierA(store):
         rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
-        _, adone, aslot, store = run_at(
-            rowsA, (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
-                    store))
-        return place_at(store, okA, adone, aslot, rowsA[:, 2])
+        return staged(rowsA, okA, store, Ma // 8)
 
     def wideA(store):
-        _, dn, slot, store = run_at(
-            rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
-                  store))
-        return place_at(store, un, dn, slot, packed)
+        return staged(rec, un, store, L // 8)
 
     return jax.lax.cond(fitsA, tierA, wideA, store)
 
@@ -2127,19 +2179,26 @@ class TpuFrontierSearch:
         # t_sig lives PERMANENTLY as (buckets, ways): reshaping a flat (C,)
         # u32 to (NB, 8) retiles (physically copies) the whole table on every
         # probe call — ~1.5 ms per 64 MB on v5e, several times per step
-        t_sig = jnp.full((st.nbuck, st.ways), _EMPTY_WORD, dtype=jnp.uint32)
-        t_best = jnp.full((C,), INFP, dtype=jnp.int32)
-        t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
         root = np.zeros((1, st.n), dtype=np.int32)
         home, sigb = _sig_encode(st, jnp.asarray(root))
         buck_i = int(np.asarray(home)[0])
         slot_i = buck_i * st.ways  # way 0 of the home bucket
         h_root = self.heuristic.calculate_h(root[0])
-        t_sig = t_sig.at[buck_i, 0].set(sigb[0])  # r = 0
-        t_best = t_best.at[slot_i].set(
-            np.int32(((h_root - st.f0) << st.nb) | self.problem.root_parent_mask)
-        )
-        return (t_sig, t_best, t_closed)
+        root_best = np.int32(
+            ((h_root - st.f0) << st.nb) | self.problem.root_parent_mask)
+
+        # ONE fused dispatch: un-jitted, the fills + root placement ran as
+        # ~6 separate ops, each allocating a fresh 64 MB array — measured
+        # 0.93 s of the 5.2 s warm kinase run (profile_run.py r4)
+        @partial(jax.jit, static_argnums=())
+        def build(sig0, best0):
+            t_sig = jnp.full((st.nbuck, st.ways), _EMPTY_WORD,
+                             dtype=jnp.uint32).at[buck_i, 0].set(sig0)
+            t_best = jnp.full((C,), INFP, dtype=jnp.int32).at[slot_i].set(best0)
+            t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
+            return t_sig, t_best, t_closed
+
+        return build(sigb[0], root_best)
 
     def _init_table(self):
         layout = self.layout

@@ -71,6 +71,12 @@ print(f"MULTIHOST_OK rank={pid} g={res.g} expanded={res.nodes_expanded} "
       f"ndev={eng.ndev} T3={eng.st.T3} migrated={res.nodes_migrated} "
       f"steps={res.steps} walls={','.join(str(w) for w in walls)}",
       flush=True)
+# per-shard (expanded, reopened, closed, open, migrated) rows — the
+# reference's per-tid node table over MPI ranks (ref: pastar/PAStar.cpp:
+# 591-619 after sync_pastar_data)
+for tid, row in enumerate(res.shard_stats):
+    print(f"MULTIHOST_SHARD rank={pid} tid={tid} "
+          + " ".join(str(int(v)) for v in row), flush=True)
 
 # exit hard: jax.distributed teardown can wedge at interpreter exit (gRPC
 # shutdown races between the two processes) — the success line is out, so a

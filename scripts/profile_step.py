@@ -56,7 +56,7 @@ def main():
 
     def variant_loop(mode):
         @jax.jit
-        def run(tab, ub, htab, henc):
+        def run(tab, ub, htab, henc, tri8):
             goal_g = jnp.asarray(np.int32(1 << 30))
             claim = jnp.zeros((1,), dtype=jnp.uint32)  # sig path ignores it
 
@@ -68,7 +68,7 @@ def main():
                 if mode >= 1:
                     keys, g_c, f_c, mask_c, valid, is_goal, child, h_c = \
                         E._expand(st, coords, g, par, active, None, htab,
-                                  henc, g_is_f=True)
+                                  henc, g_is_f=True, tri8=tri8)
                     valid = valid & (f_c <= ub)
                     acc = acc + jnp.sum(valid)
                 if mode >= 2:
@@ -92,18 +92,18 @@ def main():
     for mode in (0, 1, 2):
         fn = variant_loop(mode)
         t_in = tuple(jnp.asarray(a) for a in tab_np)
-        acc = fn(t_in, ub_dev, eng._htab_arg(), st.d_enc)
+        acc = fn(t_in, ub_dev, eng._htab_arg(), st.d_enc, st.d_tri8)
         np.asarray(acc)  # compile + settle
         walls = []
         for _ in range(3):
             t_in = tuple(jnp.asarray(a) for a in tab_np)
             np.asarray(t_in[0][0, 0])  # make sure upload settled
             t0 = time.perf_counter()
-            acc = fn(t_in, ub_dev, eng._htab_arg(), st.d_enc)
+            acc = fn(t_in, ub_dev, eng._htab_arg(), st.d_enc, st.d_tri8)
             np.asarray(acc)
             walls.append((time.perf_counter() - t0) / K * 1e3)
         results[mode] = min(walls)
-        print(f"{names[mode]:14s}: {results[mode]:7.3f} ms/step")
+        print(f"{names[mode]:14s}: {results[mode]:7.3f} ms/step", flush=True)
 
     print(f"expand ~= {results[1] - results[0]:.3f} ms, "
           f"insert ~= {results[2] - results[1]:.3f} ms")

@@ -41,6 +41,25 @@ def main() -> None:
     from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
     from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
 
+    # Pallas wavefront kernel ON HARDWARE (Mosaic lowering, not interpret):
+    # kinase-scale Phase 1, checked cell-for-cell against the NumPy oracle
+    print("STAGE pallas_wavefront (kinase Phase 1 on-chip)", flush=True)
+    import numpy as np
+
+    from mpi_pastar_msa_tpu.heuristic.pairwise import all_pair_tables
+    from mpi_pastar_msa_tpu.heuristic.wavefront_pallas import pair_tables_pallas
+
+    kin = problem_from_fasta("/root/reference/kinase.fasta")
+    t0 = time.perf_counter()
+    stacked = pair_tables_pallas(kin)
+    wall_p = time.perf_counter() - t0
+    oracle = all_pair_tables(kin.seqs)
+    for k, (x, y) in enumerate(kin.pairs()):
+        got = stacked[k, : len(kin.seqs[x]) + 1, : len(kin.seqs[y]) + 1]
+        assert np.array_equal(got, oracle[k]), f"pair {k} mismatch"
+    print(f"OK pallas_wavefront pairs={len(oracle)} wall={wall_p:.2f}s",
+          flush=True)
+
     # PF08184: end-to-end sig engine incl. triple cube + device walk
     print("STAGE pf_sig (engine build + search, compile-cached)", flush=True)
     pf = problem_from_fasta("/root/reference/PF08184.fasta")

@@ -54,3 +54,61 @@ class TestMultihost:
             assert f"MULTIHOST_OK rank={rank} g=24450" in out, out[-3000:]
             # the triple heuristic is live on the multi-process mesh
             assert "T3=1" in out, out[-3000:]
+
+    @pytest.mark.slow
+    def test_four_process_sharded_search(self):
+        """4 jax.distributed processes x 2 virtual devices = an 8-shard mesh
+        spanning 4 rank boundaries (the reference's ``mpiexec -n 4``,
+        ref: pastar/msa_pastar_main.cpp:87-89).  Exercises rank-boundary
+        routing patterns a 2-rank mesh cannot (shards whose owner is
+        neither self nor the peer process) on a non-trivial search
+        (synth5, 5x~60aa, optimum 266713)."""
+        coord = f"127.0.0.1:{_free_port()}"
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        env.update(
+            MSA_MH_FASTA=os.path.join(REPO, "tests", "data", "synth5.fasta"),
+            MSA_MH_GOLD="266713",
+            MSA_MH_BATCH="256",       # per-shard; 8 shards -> 2048 total
+            MSA_MH_CAP=str(1 << 19),
+        )
+        worker = os.path.join(REPO, "scripts", "multihost_worker.py")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(rank), "4", coord],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO,
+            )
+            for rank in range(4)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                # 4 processes compiling the 8-shard step on 2 cores: the
+                # cold-cache first run is minutes; warm runs are seconds
+                out, _ = p.communicate(timeout=1500)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        shard_rows = {}
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+            assert f"MULTIHOST_OK rank={rank} g=266713" in out, out[-3000:]
+            assert "ndev=8" in out, out[-3000:]
+            rows = []
+            for line in out.splitlines():
+                if line.startswith(f"MULTIHOST_SHARD rank={rank} "):
+                    rows.append([int(v) for v in line.split()[3:]])
+            shard_rows[rank] = rows
+        # every rank observed the same global per-shard stats table
+        # (all_gather'd in-step), with 8 rows and real work on every shard
+        ref_rows = shard_rows[0]
+        assert len(ref_rows) == 8, ref_rows
+        for rank in range(1, 4):
+            assert shard_rows[rank] == ref_rows, (rank, shard_rows[rank])
+        expanded = [r[0] for r in ref_rows]
+        migrated = [r[4] for r in ref_rows]
+        assert all(e > 0 for e in expanded), expanded
+        assert sum(migrated) > 0, migrated

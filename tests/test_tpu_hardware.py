@@ -31,3 +31,6 @@ def test_tpu_smoke():
         pytest.skip("no TPU platform available")
     assert out.returncode == 0, text[-3000:]
     assert "TPU_SMOKE_PASS" in out.stdout, text[-3000:]
+    # Pallas wavefront must have run ON HARDWARE (Mosaic lowering), not
+    # just in interpret mode (VERDICT r3 item 5)
+    assert "OK pallas_wavefront" in out.stdout, text[-3000:]
