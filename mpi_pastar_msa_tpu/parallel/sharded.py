@@ -166,6 +166,87 @@ def _route_cap(ndev: int, cap: int, dest, fsort, others, carry, fills):
     return received, new_carry, carry_ovf, carry_fmin
 
 
+def _route_ragged(ndev: int, cap: int, dest, fsort, others, carry, fills):
+    """Ragged shard exchange: send exactly what each destination receives.
+
+    The dense capacity form (_route_cap) ships a fixed (ndev, cap) buffer
+    per step — mostly padding once migration thins out — because XLA:CPU
+    lacks ragged collectives.  On real TPU meshes this variant sends only
+    true migrants over ICI (the reference's per-destination batching,
+    ref: pastar/pastar_functions/PAStarSender.cpp:36-66):
+
+      * candidates are sorted (dest, f) as in _route_cap, giving contiguous
+        per-destination segments = ragged_all_to_all's input layout;
+      * ONE tiny all_gather of the per-dest send counts gives every device
+        the global (ndev, ndev) size matrix S[i, j] = i->j rows, from which
+        sender-side output offsets and receiver-side recv sizes both follow
+        deterministically;
+      * the receive buffer stays the same static ndev*cap rows as the dense
+        form (downstream insert width unchanged); when a receiver's total
+        inbound would exceed it, senders truncate their (sorted, so
+        worst-f) tails into the carry ring — the SAME spill semantics as
+        the dense cap, but binding on the receiver's TOTAL rather than per
+        (sender, dest) pair, so skewed owner distributions waste no slots.
+
+    Same signature/returns as _route_cap.  Requires backend support for
+    jax.lax.ragged_all_to_all (TPU; UNIMPLEMENTED on XLA:CPU as of
+    jax 0.9.0 — callers select via the ShardedFrontierSearch ``exchange``
+    flag with runtime fallback).
+    """
+    K = len(others)
+    Ccar = carry.shape[0]
+    R_out = ndev * cap
+    dest_a = jnp.concatenate([dest, carry[:, 0]])
+    fsort_a = jnp.concatenate([fsort, carry[:, 1]])
+    oth_a = [jnp.concatenate([others[k], carry[:, 2 + k]]) for k in range(K)]
+
+    sorted_vals = jax.lax.sort((dest_a, fsort_a) + tuple(oth_a), num_keys=2)
+    dest_s, fsort_s = sorted_vals[0], sorted_vals[1]
+    oth_s = list(sorted_vals[2:])
+
+    T = dest_s.shape[0]
+    me = jax.lax.axis_index(AXIS)
+    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest_s].add(1, mode="drop")
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    col = jnp.arange(T, dtype=jnp.int32) - starts[jnp.clip(dest_s, 0, ndev)]
+
+    send_sizes = counts[:ndev]  # (ndev,) rows I want to send to each dest
+    S = jax.lax.all_gather(send_sizes, AXIS)  # (ndev, ndev): S[i, j] = i->j
+    # receiver-capacity truncation, deterministic across devices: sender i's
+    # allowance at dest j = clip(R_out - sum_{i'<i} S[i', j], 0, S[i, j])
+    before = jnp.cumsum(S, axis=0) - S  # exclusive prefix over senders
+    A = jnp.clip(R_out - before, 0, S)  # (ndev, ndev) allowed rows
+    send_t = A[me]  # (ndev,) what I actually send
+    out_off = (jnp.cumsum(A, axis=0) - A)[me]  # my block's start at each dest
+    recv_sizes = A[:, me]  # what each sender delivers to me
+
+    allowed_per_dest = send_t[jnp.clip(dest_s, 0, ndev - 1)]
+    on_wire = (dest_s < ndev) & (col < allowed_per_dest)
+
+    wire_rows = jnp.stack([fsort_s] + oth_s, axis=1)  # (T, 1+K)
+    fill_wire = jnp.asarray(np.array(list(fills), dtype=np.int32))
+    out_buf = jnp.broadcast_to(fill_wire, (R_out, 1 + K))
+    # input segments must be contiguous per dest: they are (sorted by dest),
+    # segment d starts at starts[d] in the sorted operand
+    rbuf = jax.lax.ragged_all_to_all(
+        wire_rows, out_buf, starts[:ndev], send_t, out_off, recv_sizes,
+        axis_name=AXIS)
+    received = [rbuf[:, k] for k in range(1 + K)]
+
+    is_over = (dest_s < ndev) & ~on_wire
+    over_pos = _prefix_sum(is_over.astype(jnp.int32)) - 1
+    slot = jnp.where(is_over, over_pos, Ccar)
+    rows = jnp.stack([dest_s, fsort_s] + oth_s, axis=1)
+    fill_row = jnp.asarray(
+        np.array([ndev, fills[0]] + list(fills[1:]), dtype=np.int32))
+    new_carry = jnp.broadcast_to(fill_row, (Ccar, 2 + K)).at[slot].set(
+        rows, mode="drop")
+    carry_ovf = jnp.maximum(jnp.sum(is_over) - Ccar, 0)
+    carry_fmin = jnp.min(
+        jnp.where(new_carry[:, 0] < ndev, new_carry[:, 1], fills[0]))
+    return received, new_carry, carry_ovf, carry_fmin
+
+
 def _make_tri_partial(st: _Static, ndev: int):
     """Per-shard partial triangle-h for a GLOBAL (all-gathered) batch.
 
@@ -250,7 +331,7 @@ def _u32(x):
 
 def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                           hash_type: str, hash_shift: int, cap: int,
-                          shard_cubes: bool = False):
+                          shard_cubes: bool = False, route=_route_cap):
     """Bucketed-sig sharded search (see engine.py sig-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
@@ -313,7 +394,10 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
             # migrated = candidates owned elsewhere (the remote-send count,
             # ref: pastar/PAStar.cpp:387-393)
             home, sigb = _sig_encode(st, child)
-            if ndev == 1:
+            if ndev == 1 and route is _route_cap:
+                # single-shard fast path (dense mode only: under
+                # exchange='ragged' even a 1-device mesh runs the wire
+                # path so the ragged collective executes on hardware)
                 # single shard: every candidate is self-owned — no wire, no
                 # carry, no sort (matches the single-chip engine's path)
                 migr_ct = jnp.int32(0)
@@ -330,7 +414,7 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                 is_remote = valid & (dst != me)
                 migr_ct = jnp.sum(is_remote)
                 dest_x = jnp.where(is_remote, dst, ndev).astype(jnp.int32)
-                recv, xcar, covf, carry_fp = _route_cap(
+                recv, xcar, covf, carry_fp = route(
                     ndev, cap, dest_x, packed, (_i32(home), _i32(sigb)), xcar,
                     fills=(int(INFP), 0, -1))
                 rp, rh_i, rs_i = recv
@@ -499,7 +583,7 @@ def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
 
 def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                              hash_type: str, hash_shift: int, cap: int,
-                             shard_cubes: bool = False):
+                             shard_cubes: bool = False, route=_route_cap):
     """Packed-layout sharded search (see engine.py packed-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
@@ -562,7 +646,10 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
             valid = valid & (f_c <= ub[0])
             packed = ((f_c - st.f0) << st.nb) | mask_c
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
-            if ndev == 1:
+            if ndev == 1 and route is _route_cap:
+                # single-shard fast path (dense mode only: under
+                # exchange='ragged' even a 1-device mesh runs the wire
+                # path so the ragged collective executes on hardware)
                 migr_ct = jnp.int32(0)
                 covf = jnp.int32(0)
                 tab, ovf_l, claim = _insert_packed(
@@ -577,7 +664,7 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                 migr_ct = jnp.sum(is_remote)
                 dest_x = jnp.where(is_remote, dst, ndev).astype(jnp.int32)
                 key_w = tuple(_i32(keys[:, w]) for w in range(st.W))
-                recv, xcar, covf, carry_fp = _route_cap(
+                recv, xcar, covf, carry_fp = route(
                     ndev, cap, dest_x, packed, (h_c,) + key_w, xcar,
                     fills=(int(INFP), 0) + (-1,) * st.W)
                 rp, rh = recv[0], recv[1]
@@ -668,7 +755,7 @@ def _make_sharded_walk_packed(st: _Static, mesh: Mesh, ndev: int):
 
 
 def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
-                      hash_shift: int, cap: int):
+                      hash_shift: int, cap: int, route=_route_cap):
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
     goal_owner_np = int(own(st.final_np[None, :])[0])
@@ -723,7 +810,10 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
             )
             valid = valid & (f_c <= ub[0])  # admissible UB pruning
             goal_l = jnp.min(jnp.where(is_goal, g_c, INF))
-            if ndev == 1:
+            if ndev == 1 and route is _route_cap:
+                # single-shard fast path (dense mode only: under
+                # exchange='ragged' even a 1-device mesh runs the wire
+                # path so the ragged collective executes on hardware)
                 migr_ct = jnp.int32(0)
                 covf = jnp.int32(0)
                 carry_fmin = INF
@@ -738,7 +828,7 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
                 migr_ct = jnp.sum(is_remote)
                 dest_x = jnp.where(is_remote, dst, ndev).astype(jnp.int32)
                 key_w = tuple(_i32(keys[:, w]) for w in range(st.W))
-                recv, xcar, covf, carry_fmin = _route_cap(
+                recv, xcar, covf, carry_fmin = route(
                     ndev, cap, dest_x, f_c, (g_c, mask_c) + key_w, xcar,
                     fills=(int(INF), int(INF), 0) + (-1,) * st.W)
                 rf, rg, rm = recv[0], recv[1], recv[2]
@@ -836,7 +926,7 @@ class ShardedFrontierSearch:
                  batch: Optional[int] = None, capacity: Optional[int] = None,
                  max_steps: int = 500_000, chunk_steps: int = 256,
                  layout: str = "auto", exchange_cap: Optional[int] = None,
-                 shard_cubes: str = "auto"):
+                 shard_cubes: str = "auto", exchange: str = "auto"):
         self.layout_pref = layout
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
@@ -943,6 +1033,10 @@ class ShardedFrontierSearch:
 
             host = np.zeros((T_pad * S * S * S, 8), np.int32)
             host[: T * S * S * S] = np.asarray(self.st.d_tri8)
+            # free the single-device replica BEFORE materialising the
+            # sharded copy — at kinase-fractional scale (6.9 GB) holding
+            # replica + host copy + sharded copy at once OOMs a 16 GB host
+            self.st.d_tri8 = jnp.zeros((1, 8), dtype=jnp.int32)
             sh = NamedSharding(self.mesh, P(AXIS))
             self._tri8_sharded = jax.make_array_from_callback(
                 host.shape, sh, lambda idx: host[idx])
@@ -965,6 +1059,17 @@ class ShardedFrontierSearch:
                 "zero-width wire delivers no migrants, so every remote "
                 "candidate would cycle the carry ring until it overflows")
         self.exchange_cap = int(exchange_cap)
+        # exchange backend: ragged_all_to_all sends only true migrants over
+        # the wire (VERDICT r3 item 4) but is UNIMPLEMENTED on XLA:CPU
+        # (jax 0.9.0) — "auto" selects it exactly when every mesh device is
+        # a real accelerator, falling back to the dense capacity+carry form
+        if exchange not in ("auto", "ragged", "dense"):
+            raise ValueError(f"unknown exchange mode {exchange!r}")
+        if exchange == "auto":
+            all_acc = all(d.platform != "cpu" for d in self.devices)
+            self.exchange = "ragged" if all_acc else "dense"
+        else:
+            self.exchange = exchange
         if self.layout_pref != "auto":
             self.layout = self.layout_pref
             if self.layout == "sig" and not (self.packed and self.st.sig_ok):
@@ -979,6 +1084,7 @@ class ShardedFrontierSearch:
 
     def _make_fns(self) -> None:
         hash_type, hash_shift = self.hash_type, self.hash_shift
+        route = _route_ragged if self.exchange == "ragged" else _route_cap
         if self.shard_cubes:
             # the sharded cube array supersedes the per-device replica that
             # _Static builds; drop it so each device holds only its slice
@@ -987,21 +1093,21 @@ class ShardedFrontierSearch:
         if self.layout == "sig":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_sig(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap, shard_cubes=self.shard_cubes
+                self.exchange_cap, shard_cubes=self.shard_cubes, route=route
             )
             self._walk = _make_sharded_walk_sig(self.st, self.mesh, self.ndev)
             self._ntab = 3
         elif self.layout == "packed":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_packed(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap, shard_cubes=self.shard_cubes
+                self.exchange_cap, shard_cubes=self.shard_cubes, route=route
             )
             self._walk = _make_sharded_walk_packed(self.st, self.mesh, self.ndev)
             self._ntab = 3
         else:
             self._init, self._chunk, self._goal_owner = _make_sharded_run(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap
+                self.exchange_cap, route=route
             )
             self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
             self._ntab = 5

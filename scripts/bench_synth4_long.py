@@ -1,0 +1,84 @@
+"""Beyond-reference benchmark lane: synth4_long (4 x ~1100 aa) on TPU.
+
+The reference cannot run this input correctly at all — its weight pipeline
+silently truncates sequences at 1000 residues (ref: pastar/include/
+WeightedSP.hpp:10, pastar/WeightedSP.cpp:148).  This lane runs the TPU
+frontier engine to the certified optimum (native oracle golden
+g=841545 / 4,397,665 expansions, tests/test_beyond_reference.py) and
+prints a JSON row for benchmarks/.
+
+Usage: python scripts/bench_synth4_long.py [--native-too]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tests", "data", "synth4_long.fasta")
+GOLD_G = 841545
+
+
+def main() -> None:
+    import jax
+
+    from mpi_pastar_msa_tpu.core.problem import problem_from_fasta
+    from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+
+    print("STAGE devices", flush=True)
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        print("TPU_ABSENT", flush=True)
+        return
+
+    row = {"input": "tests/data/synth4_long.fasta", "gold_g": GOLD_G}
+
+    print("STAGE load+hpair (device wavefront, L>1000)", flush=True)
+    p = problem_from_fasta(DATA)
+    t0 = time.perf_counter()
+    h = HPairHeuristic.build(p, backend="auto")
+    row["phase1_wall_s"] = round(time.perf_counter() - t0, 2)
+
+    if "--native-too" in sys.argv:
+        from mpi_pastar_msa_tpu.search.native import NativeAStar
+
+        print("STAGE native baseline", flush=True)
+        t0 = time.perf_counter()
+        rn = NativeAStar(p, h, init_capacity=1 << 24).run()
+        assert rn.g == GOLD_G, rn.g
+        row["native_wall_s"] = round(time.perf_counter() - t0, 1)
+        row["native_nodes"] = rn.nodes_expanded
+
+    from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
+
+    print("STAGE engine build", flush=True)
+    t0 = time.perf_counter()
+    eng = TpuFrontierSearch(p, h, capacity=1 << 25, batch=16384,
+                            chunk_steps=64)
+    row["build_wall_s"] = round(time.perf_counter() - t0, 1)
+
+    print("STAGE warm-up run", flush=True)
+    t0 = time.perf_counter()
+    r = eng.run()
+    assert r.g == GOLD_G, r.g
+    row["warmup_wall_s"] = round(time.perf_counter() - t0, 1)
+
+    print("STAGE timed run", flush=True)
+    t0 = time.perf_counter()
+    r = eng.run()
+    wall = time.perf_counter() - t0
+    assert r.g == GOLD_G, r.g
+    row.update(
+        tpu_wall_s=round(wall, 2),
+        tpu_nodes=r.nodes_expanded,
+        tpu_nodes_per_s=round(r.nodes_expanded / wall),
+        steps=r.steps,
+        maxchunk_s=round(max(eng.last_chunk_walls or [0.0]), 1),
+    )
+    print("SYNTH4_LONG " + json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

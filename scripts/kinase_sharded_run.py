@@ -35,6 +35,16 @@ def main() -> None:
     devs = jax.devices("cpu")[:ndev]
     hash_type = sys.argv[2] if len(sys.argv) > 2 else "FZORDER"
     hash_shift = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    triples = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    if triples == "fractional":
+        # fractional all-triples cover: 10 kinase cubes, only viable on a
+        # mesh because the sharded cube store splits them across devices
+        from mpi_pastar_msa_tpu.heuristic.triples import HTriples
+
+        ht = HTriples.build(h, device=devs[0], fractional=True,
+                            budget_bytes=10 << 30)
+        assert ht is not None and ht.cost_scale == p.n_seq - 2
+        h = ht
     # kinase's f<=f* shell is millions of states: the total-oriented auto
     # capacity (2^23 across the mesh) runs the sig tables at ~60% load and
     # probe chains crawl, and the strong-scaling auto batch (256/shard)
@@ -50,12 +60,16 @@ def main() -> None:
     mean = sum(per) / len(per)
     print(json.dumps({
         "input": "kinase.fasta", "devices": ndev, "hash": hash_type,
-        "shift": hash_shift, "g": res.g,
+        "shift": hash_shift, "triples": triples, "g": res.g,
         "steps": res.steps, "nodes_expanded": res.nodes_expanded,
         "nodes_migrated": res.nodes_migrated, "wall_s": round(wall, 1),
         "nodes_per_s": round(res.nodes_expanded / wall),
         "shard_expanded": per,
         "skew_max_over_mean": round(max(per) / mean, 4) if mean else None,
+        "shard_cubes": eng.shard_cubes,
+        "cubes": eng.st.T3,
+        "cube_bytes_per_device": eng.cube_bytes_per_device,
+        "cube_bytes_total_mesh": eng.cube_bytes_per_device * ndev,
     }))
 
 

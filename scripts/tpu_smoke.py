@@ -96,10 +96,15 @@ def main() -> None:
 
     t0 = time.perf_counter()
     seng = ShardedFrontierSearch(pf, pf_h, devices=devs[:1])
+    # on an all-accelerator mesh "auto" selects the ragged_all_to_all
+    # exchange; even the 1-device mesh executes the ragged collective (the
+    # dense fast path is bypassed), so a Mosaic/backend regression in the
+    # ragged path surfaces HERE, on hardware
+    assert seng.exchange == "ragged", seng.exchange
     sres = seng.run()
     assert sres.g == 24450, sres.g
-    print(f"OK pf_sharded g={sres.g} wall={time.perf_counter() - t0:.1f}s",
-          flush=True)
+    print(f"OK pf_sharded g={sres.g} exchange={seng.exchange} "
+          f"wall={time.perf_counter() - t0:.1f}s", flush=True)
 
     print("TPU_SMOKE_PASS", flush=True)
 

@@ -135,6 +135,27 @@ class TestShardedKinase:
 
     @pytest.mark.skipif("MSA_SLOW_TESTS" not in __import__("os").environ,
                         reason="set MSA_SLOW_TESTS=1 to run (multi-minute)")
+    def test_exchange_auto_falls_back_on_cpu(self):
+        """ragged_all_to_all is UNIMPLEMENTED on XLA:CPU — "auto" must pick
+        the dense capacity+carry exchange on a CPU mesh, and an explicit
+        "dense" request must be honoured anywhere."""
+        p = Problem(("ACDEFG", "ACDFG", "ACEFG"))
+        h = HPairHeuristic.build(p)
+        eng = ShardedFrontierSearch(p, h, devices=_cpu_devices(2),
+                                    batch=16, capacity=1 << 12)
+        assert eng.exchange == "dense"
+        want = SerialAStar(p, h).run().g
+        assert eng.run().g == want
+        eng2 = ShardedFrontierSearch(p, h, devices=_cpu_devices(2),
+                                     batch=16, capacity=1 << 12,
+                                     exchange="dense")
+        assert eng2.exchange == "dense"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ShardedFrontierSearch(p, h, devices=_cpu_devices(2),
+                                  exchange="bogus")
+
     def test_shard_cubes_matches_replicated(self):
         """Sharding the triangle cube stack by triangle (partial-h +
         psum_scatter) must be cost-invariant vs the replicated store."""
