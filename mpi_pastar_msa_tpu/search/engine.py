@@ -2138,6 +2138,7 @@ class TpuFrontierSearch:
 
     def _make_fns(self):
         layout = self.layout
+        self._init_build_sig = None  # st-dependent; invalidate on rebuild
         if layout == "sig":
             if not (self.packed and self.st.sig_ok):
                 raise ValueError("sig layout requires packed eligibility and "
@@ -2188,17 +2189,21 @@ class TpuFrontierSearch:
             ((h_root - st.f0) << st.nb) | self.problem.root_parent_mask)
 
         # ONE fused dispatch: un-jitted, the fills + root placement ran as
-        # ~6 separate ops, each allocating a fresh 64 MB array — measured
-        # 0.93 s of the 5.2 s warm kinase run (profile_run.py r4)
-        @partial(jax.jit, static_argnums=())
-        def build(sig0, best0):
-            t_sig = jnp.full((st.nbuck, st.ways), _EMPTY_WORD,
-                             dtype=jnp.uint32).at[buck_i, 0].set(sig0)
-            t_best = jnp.full((C,), INFP, dtype=jnp.int32).at[slot_i].set(best0)
-            t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
-            return t_sig, t_best, t_closed
+        # ~6 separate ops, each a separate tunnel round-trip — measured
+        # 0.93 s of the 5.2 s warm kinase run (profile_run.py r4).  The jit
+        # is cached on self: a per-call jit object would retrace every run.
+        if getattr(self, "_init_build_sig", None) is None:
+            @jax.jit
+            def build(sig0, best0):
+                t_sig = jnp.full((st.nbuck, st.ways), _EMPTY_WORD,
+                                 dtype=jnp.uint32).at[buck_i, 0].set(sig0)
+                t_best = jnp.full((C,), INFP,
+                                  dtype=jnp.int32).at[slot_i].set(best0)
+                t_closed = jnp.full((C,), INFP, dtype=jnp.int32)
+                return t_sig, t_best, t_closed
 
-        return build(sigb[0], root_best)
+            self._init_build_sig = build
+        return self._init_build_sig(sigb[0], root_best)
 
     def _init_table(self):
         layout = self.layout

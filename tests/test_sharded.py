@@ -156,6 +156,20 @@ class TestShardedKinase:
             ShardedFrontierSearch(p, h, devices=_cpu_devices(2),
                                   exchange="bogus")
 
+    def test_ragged_traces_but_cpu_backend_rejects(self):
+        """The ragged exchange must TRACE cleanly (shape correctness) and
+        fail only at XLA:CPU lowering with UNIMPLEMENTED — documenting why
+        "auto" falls back to dense here.  On TPU the same code path runs in
+        the smoke lane (scripts/tpu_smoke.py pf_sharded)."""
+        p = Problem(("ACDEFG", "ACDFG", "ACEFG"))
+        h = HPairHeuristic.build(p)
+        eng = ShardedFrontierSearch(p, h, devices=_cpu_devices(4),
+                                    batch=16, capacity=1 << 12,
+                                    exchange="ragged")
+        assert eng.exchange == "ragged"
+        with pytest.raises(Exception, match="UNIMPLEMENTED|ragged"):
+            eng.run()
+
     def test_shard_cubes_matches_replicated(self):
         """Sharding the triangle cube stack by triangle (partial-h +
         psum_scatter) must be cost-invariant vs the replicated store."""
