@@ -1298,62 +1298,27 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
                   store))
         return place_at(store, un, dn, slot, packed)
 
-    def staged(rows, live, store, width_tail):
-        """2 bounded calls at the rows' width, then a compacted narrow tail.
-
-        Mid-search (new-key-heavy) the old shape looped at the stage width
-        until EVERY lane settled — measured 11.7 ms/step insert on kinase,
-        78% of the step (profile_step.py r4).  A write call + one confirm
-        call settle ~95% of lanes; only write-race losers and full-bucket
-        chains remain, so the tail runs at 1/8 width where each round is
-        8-32x cheaper.  Placement is idempotent (scatter-MIN of the packed
-        word), so settled lanes place per stage and only unsettled lanes
-        carry forward.
-        """
-        Wd = rows.shape[0]
-        idx = jnp.arange(Wd, dtype=jnp.uint32)
-        first = make_body(rows, idx, step_tag, use_rec_row=True)
-        carry = first((jnp.int32(0), ~live,
-                       jnp.full((Wd,), C, dtype=jnp.int32), store))
-        second = make_body(rows, idx, step_tag)
-        k2, dn2, slot2, store = second(carry)
-        store, _ = place_at(store, live & dn2, dn2, slot2, rows[:, 2])
-        un2 = live & ~dn2
-        Mb = max(width_tail, 512)
-        if Mb >= Wd:
-            k, dn, slot, store = run_loop(second, (k2, dn2, slot2, store))
-            return place_at(store, un2, dn, slot, rows[:, 2])
-        nvB = _prefix_sum(un2.astype(jnp.int32))
-        fitsB = nvB[-1] <= Mb
-
-        def tail_narrow(store):
-            rowsB, okB, _ = _compact_gather(un2, nvB, Mb, rows)
-            # fresh-gather body only: the carried round-0 bucket rows are
-            # STALE after calls 1-2 wrote t_sig — a stale empty way could
-            # overwrite a live entry (use_rec_row is only sound before the
-            # first t_sig write)
-            idxB = jnp.arange(Mb, dtype=jnp.uint32)
-            bodyB = make_body(rowsB, idxB, step_tag)
-            _, bdone, bslot, store = run_loop(
-                bodyB, (jnp.int32(0), ~okB,
-                        jnp.full((Mb,), C, dtype=jnp.int32), store))
-            return place_at(store, okB, bdone, bslot, rowsB[:, 2])
-
-        def tail_wide(store):
-            k, dn, slot, store = run_loop(second, (k2, dn2, slot2, store))
-            return place_at(store, un2, dn, slot, rows[:, 2])
-
-        return jax.lax.cond(fitsB, tail_narrow, tail_wide, store)
-
+    # NOTE (r4): a "2 bounded calls + compacted 1/8-width tail" variant of
+    # the stages below was built and measured on kinase hardware — it was
+    # 12-13% SLOWER per step (loop 4.66 s vs 4.11 s, profile_run r4b/r4c
+    # vs r4): the claimless while_loop already settles in ~2 iterations, so
+    # the extra mid-stage placement scatter + prefix-sum/compaction cost
+    # more than the avoided loop iterations.  Keep the simple shape.
     nvA = _prefix_sum(un.astype(jnp.int32))
     fitsA = nvA[-1] <= Ma
 
     def tierA(store):
         rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
-        return staged(rowsA, okA, store, Ma // 8)
+        _, adone, aslot, store = run_at(
+            rowsA, (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
+                    store))
+        return place_at(store, okA, adone, aslot, rowsA[:, 2])
 
     def wideA(store):
-        return staged(rec, un, store, L // 8)
+        _, dn, slot, store = run_at(
+            rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
+                  store))
+        return place_at(store, un, dn, slot, packed)
 
     return jax.lax.cond(fitsA, tierA, wideA, store)
 
