@@ -1489,16 +1489,23 @@ def _select_sig(st: _Static, tab, goal_g, thr):
     f_val = t_best >> nb  # REBASED: stored f field is f - st.f0 (see _Static.f0)
     is_open = is_open & (f_val < goal_g - st.f0)
     v_open = jnp.where(is_open, t_best, INFP)
-    fmin_p = jnp.min(v_open)
-    fmin_r = fmin_p >> nb
     n_open = jnp.sum(is_open)
 
-    cut = (jnp.minimum(fmin_r + thr + 1, INFP >> nb) << nb) - 1
-    v = jnp.where(v_open <= cut, v_open, INFP).reshape(B, G)
+    # ONE grouped pass serves both reductions: the global f-min is the min
+    # of the per-group mins (a B-sized reduce, free), and the group's
+    # under-cut pick IS its unfiltered argmin whenever that min clears the
+    # cut — so no separate full-table min pass and no cut-masked rescan
+    # (each saved pass reads the whole 2x64 MB table)
+    v = v_open.reshape(B, G)
     j = jnp.argmin(v, axis=1)
-    vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
+    vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]  # (B,)
+    fmin_p = jnp.min(vmin)
+    fmin_r = fmin_p >> nb
+
+    cut = (jnp.minimum(fmin_r + thr + 1, INFP >> nb) << nb) - 1
     slots = jnp.arange(B, dtype=jnp.int32) * G + j.astype(jnp.int32)
-    active = vmin < INFP
+    active = vmin <= cut  # empty groups hold INFP > cut
+    vmin = jnp.where(active, vmin, INFP)
     n_selected = jnp.sum(active)
     slot_c = jnp.clip(slots, 0, C - 1)
 
@@ -1527,16 +1534,20 @@ def _select_packed(st: _Static, tab, goal_g, thr):
     f_val = t_best >> nb  # REBASED: stored f field is f - st.f0 (see _Static.f0)
     is_open = is_open & (f_val < goal_g - st.f0)  # f >= g(goal) can't improve
     v_open = jnp.where(is_open, t_best, INFP)
-    fmin_p = jnp.min(v_open)
-    fmin_r = fmin_p >> nb
     n_open = jnp.sum(is_open)
 
-    cut = (jnp.minimum(fmin_r + thr + 1, INFP >> nb) << nb) - 1
-    v = jnp.where(v_open <= cut, v_open, INFP).reshape(B, G)
+    # single grouped pass; global f-min derived from the per-group mins
+    # (see _select_sig for the equivalence argument)
+    v = v_open.reshape(B, G)
     j = jnp.argmin(v, axis=1)
     vmin = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
+    fmin_p = jnp.min(vmin)
+    fmin_r = fmin_p >> nb
+
+    cut = (jnp.minimum(fmin_r + thr + 1, INFP >> nb) << nb) - 1
     slots = jnp.arange(B, dtype=jnp.int32) * G + j.astype(jnp.int32)
-    active = vmin < INFP
+    active = vmin <= cut  # empty groups hold INFP > cut
+    vmin = jnp.where(active, vmin, INFP)
     n_selected = jnp.sum(active)
     slot_c = jnp.clip(slots, 0, C - 1)
 
