@@ -102,6 +102,34 @@ def main() -> None:
     if "sp1x4_best_wall_s" in rec:
         rec["process_boundary_overhead"] = round(
             rec["mp2x2_best_wall_s"] / rec["sp1x4_best_wall_s"], 3)
+
+    # --- 4 processes x 2 local devices: 3 rank boundaries (VERDICT r3
+    # item 6; same batch/cap as the committed 4-rank integration test so
+    # the compile cache is shared).  Exercises remote-remote routing the
+    # 2-rank case cannot. ------------------------------------------------
+    if os.environ.get("MSA_MP_FOUR", "1") == "1":
+        coord = f"127.0.0.1:{_free_port()}"
+        env4 = dict(env, MSA_MH_BATCH="256", MSA_MH_CAP=str(1 << 19),
+                    MSA_MH_REPEATS=str(repeats))
+        t0 = time.perf_counter()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(rank), "4", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env4, cwd=REPO) for rank in range(4)]
+        outs4 = [p.communicate(timeout=1800)[0] for p in procs]
+        for out4 in outs4:
+            for line in out4.splitlines():
+                if line.startswith("MULTIHOST_OK rank=0"):
+                    kv = dict(t.split("=") for t in line.split()[1:])
+                    rec["mp4x2_walls_s"] = [float(w) for w in
+                                            kv["walls"].split(",")]
+                    rec["mp4x2_best_wall_s"] = min(rec["mp4x2_walls_s"])
+                    rec["mp4x2_expanded"] = int(kv["expanded"])
+                    rec["mp4x2_migrated"] = int(kv["migrated"])
+                    rec["mp4x2_steps"] = int(kv["steps"])
+        rec["mp4x2_total_wall_s"] = round(time.perf_counter() - t0, 1)
+        rec["mp4x2_batch_per_shard"] = 256
+        rec["mp4x2_capacity_per_shard"] = 1 << 19
     print(json.dumps(rec))
 
 
