@@ -2076,18 +2076,113 @@ class TpuFrontierSearch:
         walk_args = (tab, SD((st.n,), i32))
         return args, walk_args
 
+    def _export_cache_path(self) -> str:
+        """Path of the serialized-StableHLO cache entry for run_loop.
+
+        Measured (r4): on this 2-core host, TRACING the chunked driver —
+        the tier cross-product instantiates the expand/insert pipeline many
+        times — costs 104 s per fresh process; the XLA compile behind it is
+        a 2 s persistent-cache hit.  jax.export lets later processes skip
+        the trace: deserialize the StableHLO (native, fast) and jit its
+        .call, which hits the compile cache.  The key must cover everything
+        the trace bakes in as CONSTANTS: the engine source itself, the
+        problem (sequences -> weights, final coords, mask matrices), layout
+        and shape config, and the backend.
+        """
+        import hashlib
+        import os
+
+        st = self.st
+        h = hashlib.sha256()
+        try:
+            with open(__file__.rstrip("c"), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            return ""  # no stable source -> no export cache
+        for s in self.problem.seqs:
+            h.update(s.encode())
+            h.update(b"\0")
+        htab = self._htab_arg()
+        h.update(
+            f"{self.layout}|{st.B}|{st.C}|{st.n}|{st.P}|{st.S}|{st.T3}|"
+            f"{st.f0}|{st.nb}|{getattr(st, 'ways', 0)}|{self.ub}|"
+            f"{htab.shape}|{htab.dtype}|{st.d_tri8.shape}|"
+            f"{jax.default_backend()}".encode())
+        base = jax.config.jax_compilation_cache_dir
+        if not base:
+            return ""
+        d = os.path.join(base, "exported")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"runloop_{h.hexdigest()[:20]}.bin")
+
     def _start_precompile(self) -> None:
         import threading
 
         args, walk_args = self._precompile_args()
         run_loop, walk = self._run_loop, self._walk
+        path = self._export_cache_path()
 
         def work():
             try:
-                run_loop.lower(*args).compile()
+                import jax.export as jex
+
+                exported = None
+                if path:
+                    try:
+                        with open(path, "rb") as f:
+                            exported = jex.deserialize(f.read())
+                    except OSError:
+                        pass
+                    if exported is None:
+                        # one-time per (code, problem, config): the big
+                        # trace; serialize so every later process skips it
+                        exported = jex.export(run_loop)(*args)
+                        tmp = path + f".tmp{id(self)}"
+                        with open(tmp, "wb") as f:
+                            f.write(exported.serialize())
+                        import os
+
+                        os.replace(tmp, path)
+                if exported is not None:
+                    # ALWAYS run via the exported module (even right after
+                    # creating it) so the XLA compile-cache entry is keyed
+                    # by the round-tripped StableHLO that future processes
+                    # will compile — otherwise the first exported run pays
+                    # a second full compile
+                    loop = jax.jit(exported.call, donate_argnums=(0,))
+                    loop.lower(*args).compile()
+                    self._run_loop = loop
+                else:
+                    run_loop.lower(*args).compile()
                 walk.lower(*walk_args).compile()
+                # PRE-LOAD both executables onto the device: compile() does
+                # not ship the program; the first execution pays ~10 s of
+                # load each on this tunneled backend (measured r4).  A
+                # zero-step dummy run forces the load while the cube fill
+                # is still draining.  chunk_steps=0 makes the while_loop
+                # exit immediately; dummy (donated) tables are transient.
+                try:
+                    dummy = tuple(
+                        jnp.zeros(a.shape, a.dtype) for a in args[0])
+                    out = self._run_loop(
+                        dummy, jnp.zeros((7,), jnp.int32),
+                        jnp.asarray(np.int32(0)),  # 0 steps: exit at once
+                        jnp.asarray(np.int32(0)), self._htab_arg(),
+                        self.st.d_enc, self.st.d_tri8)
+                    np.asarray(out[1][0])
+                    wtab = tuple(jnp.zeros(a.shape, a.dtype)
+                                 for a in walk_args[0])
+                    # start at the origin: the walk terminates immediately
+                    wout = walk(wtab, jnp.zeros((self.st.n,), jnp.int32))
+                    np.asarray(wout[1].ravel()[:1])
+                except Exception:  # noqa: BLE001 - load warm is optional
+                    pass
             except Exception:  # noqa: BLE001 - best-effort cache warm
-                pass
+                try:
+                    run_loop.lower(*args).compile()
+                    walk.lower(*walk_args).compile()
+                except Exception:  # noqa: BLE001
+                    pass
 
         self._precompile_thread = threading.Thread(target=work, daemon=True)
         self._precompile_thread.start()
@@ -2338,15 +2433,25 @@ class TpuFrontierSearch:
             )
         if self.driver == "host":
             return self._run_host_driver(ub)
+        import time as _time0
+        # phase walls (complements last_chunk_walls): attributes non-loop
+        # time — precompile join (cache deserialize / residual compile),
+        # table init, device walk, finish reductions — so a stalled run is
+        # diagnosable from telemetry alone
+        self.last_phase_walls = {}
+        _t = _time0.perf_counter()
         # wait for the background cache-warm (ctor) so the first dispatch
         # below deserializes instead of racing a duplicate compile
         self._join_precompile()
+        self.last_phase_walls["precompile_join"] = _time0.perf_counter() - _t
+        _t = _time0.perf_counter()
         tab, counters = self._load_checkpoint()
         if tab is None:
             tab = self._init_table()
             counters = jnp.asarray(
                 np.array([INF, 0, 0, 0, 0, 0, 0], dtype=np.int32)
             )
+        self.last_phase_walls["init_table"] = _time0.perf_counter() - _t
         ub_dev = jnp.asarray(np.int32(ub))
 
         # fault tolerance: snapshot the search state between chunks so a TPU
@@ -2423,12 +2528,16 @@ class TpuFrontierSearch:
     def _finish(self, tab, goal_v, steps, total_expanded, total_reopen,
                 last_n_open) -> TpuSearchResult:
         st = self.st
+        import time as _time0
+        _t = _time0.perf_counter()
         # backtrace on device
         final = jnp.asarray(st.final_np)
         masks, coord_fin = self._walk(tab, final)
         masks = np.asarray(masks)
         if not np.all(np.asarray(coord_fin) == 0):
             raise RuntimeError("backtrace did not reach the origin")
+        if getattr(self, "last_phase_walls", None) is not None:
+            self.last_phase_walls["walk"] = _time0.perf_counter() - _t
 
         closed: Dict[Tuple[int, ...], Tuple[int, int]] = {}
         coord = tuple(int(v) for v in st.final_np)

@@ -45,8 +45,11 @@ def main() -> None:
     # chunk of 30-200+ s among ~0.5 s neighbours, so bench.py can tell a
     # poisoned warmup (and retry the fresh-process cold shot) from a slow one
     walls = getattr(eng, "last_chunk_walls", []) or [0.0]
+    ph = {k: round(v, 1) for k, v in
+          getattr(eng, "last_phase_walls", {}).items()}
     print(f"OK warmup g={r.g} wall={time.perf_counter() - t0:.1f}s "
-          f"maxchunk={max(walls):.1f}s chunks={len(walls)}", flush=True)
+          f"maxchunk={max(walls):.1f}s chunks={len(walls)} phases={ph}",
+          flush=True)
 
     print("STAGE timed run", flush=True)
     t0 = time.perf_counter()
