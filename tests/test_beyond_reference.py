@@ -59,3 +59,28 @@ def test_native_oracle_golden():
     r = NativeAStar(p, h, init_capacity=1 << 24).run()
     assert r.g == GOLD_G
     assert r.nodes_expanded == 4_397_665
+
+
+# --- synth7: 7 sequences = 127 successor masks per expansion -----------
+# The reference instantiates N=7 (max_seq_helper.h), but publishes no
+# measurement anywhere near it; this fixture (7 x 117-122 aa, 40% sub + 3%
+# indel, seed 20260821) is this repo's committed large-N evidence.
+DATA7 = os.path.join(os.path.dirname(__file__), "data", "synth7.fasta")
+GOLD7_G = 402469
+
+
+def test_synth7_fixture_shape():
+    p = problem_from_fasta(DATA7)
+    assert p.n_seq == 7
+    assert all(110 <= len(s) <= 130 for s in p.seqs)
+
+
+@pytest.mark.slow
+def test_synth7_native_oracle_golden():
+    from mpi_pastar_msa_tpu.search.native import NativeAStar
+
+    p = problem_from_fasta(DATA7)
+    h = HPairHeuristic.build(p)
+    r = NativeAStar(p, h, init_capacity=1 << 24).run()
+    assert r.g == GOLD7_G
+    assert r.nodes_expanded == 761_134
