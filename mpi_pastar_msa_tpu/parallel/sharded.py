@@ -1084,6 +1084,7 @@ class ShardedFrontierSearch:
 
     def _make_fns(self) -> None:
         hash_type, hash_shift = self.hash_type, self.hash_shift
+        self._chunk_exported = False  # config-dependent; reset on rebuild
         route = _route_ragged if self.exchange == "ragged" else _route_cap
         if self.shard_cubes:
             # the sharded cube array supersedes the per-device replica that
@@ -1111,6 +1112,63 @@ class ShardedFrontierSearch:
             )
             self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
             self._ntab = 5
+
+    def _maybe_export_chunk(self, example_args) -> None:
+        """Swap self._chunk for a StableHLO-export-backed jit (see
+        engine._export_cache_path for the rationale: fresh-process cost is
+        TRACING, and on a K-process mesh every process pays it — the
+        round-3/4 multiproc lanes measured 130-160 s first walls).  The
+        export is created once (keyed by source, problem, mesh config,
+        backend) and every later process/run deserializes in ~1 s.
+
+        Best-effort: any failure keeps the traced _chunk.  The unpacked
+        layout keeps the traced path (niche; different donation set).
+        """
+        if self.layout == "unpacked" or getattr(self, "_chunk_exported", False):
+            return
+        import hashlib
+        import os
+
+        try:
+            import jax.export as jex
+
+            plat = self.devices[0].platform
+            h = hashlib.sha256()
+            import mpi_pastar_msa_tpu.search.engine as _eng
+            for mod_file in (__file__, _eng.__file__):
+                with open(mod_file.rstrip("c"), "rb") as f:
+                    h.update(f.read())
+            for s in self.problem.seqs:
+                h.update(s.encode())
+                h.update(b"\0")
+            st = self.st
+            h.update(
+                f"{self.layout}|{st.B}|{st.C}|{self.ndev}|{self.hash_type}|"
+                f"{self.hash_shift}|{self.exchange_cap}|{self.exchange}|"
+                f"{self.shard_cubes}|{st.T3}|{st.f0}|{self.ub}|{plat}|"
+                f"{int(self.multiprocess)}".encode())
+            base = jax.config.jax_compilation_cache_dir
+            if not base:
+                return
+            d = os.path.join(base, "exported")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"shchunk_{h.hexdigest()[:20]}.bin")
+            exported = None
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    exported = jex.deserialize(f.read())
+            if exported is None:
+                avals = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                              for a in example_args)
+                exported = jex.export(self._chunk, platforms=[plat])(*avals)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(exported.serialize())
+                os.replace(tmp, path)
+            self._chunk = jax.jit(exported.call, donate_argnums=(0, 1, 2, 3))
+            self._chunk_exported = True
+        except Exception:  # noqa: BLE001 - keep the traced path
+            pass
 
     def _rep(self, x):
         """Host value -> replicated device array valid on this mesh.
@@ -1218,6 +1276,15 @@ class ShardedFrontierSearch:
         chunk_now = self.chunk_steps
         nt = self._ntab + 1  # tables + the exchange-carry ring
         import time as _time
+        # export-cache the chunk program.  Safe under multi-process too:
+        # every process either loads the (atomic, content-identical) file
+        # or exports the same bytes itself, so all ranks execute the same
+        # module; a per-rank failure falls back to the traced twin, which
+        # lowers the identical collective sequence.
+        self._maybe_export_chunk(
+            tuple(tab) + (counters, shard_ctr,
+                          self._rep(np.array([chunk_now], dtype=np.int32)),
+                          ub_dev, htab_g, henc_g, tri8_g))
         while True:
             _t0 = _time.perf_counter()
             out = self._chunk(*tab, counters, shard_ctr,
