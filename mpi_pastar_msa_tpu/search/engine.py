@@ -1962,9 +1962,12 @@ class TpuFrontierSearch:
                 lattice *= int(L) + 1
                 if lattice > (1 << 27):
                     break
-            # probe chains (and with them the whole insert tail) blow up past
-            # ~25% load, so size generously: ~1 GB of table arrays at 2^25
-            capacity = min(1 << 25, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 25))))
+            # 2^24 is the proven kinase-scale default (bench + export cache
+            # use it; 2^25 was measured to double the select scan AND blow
+            # up reopens ~40x via the wider selection groups).  Searches
+            # whose unique-key set outgrows it hit the overflow retry,
+            # which doubles capacity and recompiles once.
+            capacity = min(1 << 24, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 24))))
         if batch is None:
             # ~0.5M candidates/step on big searches: per-op latency floors
             # dominate below that, expansion waste (batch slack) dominates
