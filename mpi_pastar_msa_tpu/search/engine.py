@@ -1651,14 +1651,14 @@ def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
     cand_fn = cand_fn or _candidates_packed
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(tab, goal_g, ub, thr, htab, henc, tri8):
+    def step(tab, goal_g, ub, thr, htab, henc, tri8, fill=None):
         tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
             st, tab, goal_g, thr)
         tab, _, goal_g, overflow = _expand_insert_tiered(
             st, tab, None, coords, g, par, active, n_sel, goal_g, ub, htab,
             henc, None, insert_fn, cand_fn, g_is_f, tri8)
         expanded = jnp.sum(active)
-        thr = _adapt_thr(thr, n_sel, st.B)
+        thr = _adapt_thr(thr, n_sel, st.B if fill is None else fill)
         stats = jnp.stack([goal_g, fmin, n_open, expanded, reopen_ct, overflow])
         return tab, goal_g, thr, stats
 
@@ -1678,7 +1678,7 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
     cand_fn = cand_fn or _candidates_packed
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(tab, counters, chunk_steps, ub, htab, henc, tri8):
+    def run_chunk(tab, counters, chunk_steps, ub, htab, henc, tri8, fill):
         goal_g0, steps0, expanded0, reopen0, n_open0, overflow0 = (
             counters[0], counters[2], counters[3],
             counters[4], counters[5], counters[6],
@@ -1701,7 +1701,11 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
                 st, tab, claim, coords, g, par, active, n_sel, goal_g, ub,
                 htab, henc, local.astype(jnp.uint32), insert_fn, cand_fn,
                 g_is_f, tri8)
-            thr = _adapt_thr(thr, n_sel, st.B)
+            # `fill` is a RUNTIME selection-fill target (<= B): smaller
+            # targets mean shallower f-windows per step — fewer premature
+            # expansions (reopens) at the price of more steps.  Traced as
+            # data so one compiled program serves every setting.
+            thr = _adapt_thr(thr, n_sel, fill)
             return (tab, claim, goal_g, fmin, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
@@ -1850,7 +1854,7 @@ def _make_run_loop(st: _Static):
     """
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(tab, counters, chunk_steps, ub, htab, henc, tri8):
+    def run_chunk(tab, counters, chunk_steps, ub, htab, henc, tri8, fill):
         goal_g0, _, steps0, expanded0, reopen0, n_open0, overflow0 = (
             counters[0], counters[1], counters[2], counters[3],
             counters[4], counters[5], counters[6],
@@ -1876,7 +1880,7 @@ def _make_run_loop(st: _Static):
                 st, tab, keys, g_c, f_c, mask_c, valid,
                 claim=claim, step_tag=local.astype(jnp.uint32),
             )
-            thr = _adapt_thr(thr, n_sel, st.B)
+            thr = _adapt_thr(thr, n_sel, fill)
             return (tab, claim, goal_g, fmin, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
@@ -1950,7 +1954,7 @@ class TpuFrontierSearch:
                  chunk_steps: int = 64, snapshot_every: int = 0,
                  driver: str = "chunked", checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 8, layout: str = "auto",
-                 triples: str = "auto"):
+                 triples: str = "auto", fill_target: Optional[int] = None):
         self.problem = problem
         self.layout_pref = layout
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
@@ -1980,6 +1984,14 @@ class TpuFrontierSearch:
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.max_steps = max_steps
         self.chunk_steps = chunk_steps
+        # selection-fill target for the threshold controller (a RUNTIME
+        # value: one compiled program serves any setting; see run_chunk).
+        # Default B/2, from the committed kinase sweep
+        # (benchmarks/fill_target_kinase.jsonl): full-B targets push the
+        # f-window deep enough that 57% of expansions were premature
+        # re-expansions; B/2 cuts expansions 15% and wall 6%.
+        self.fill_target = int(fill_target) if fill_target else max(
+            64, batch // 2)
         self.snapshot_every = snapshot_every
         self.driver = driver
         self.checkpoint_path = checkpoint_path
@@ -2075,7 +2087,7 @@ class TpuFrontierSearch:
         args = (tab, SD((7,), i32), scalar, scalar,
                 SD(htab.shape, htab.dtype),
                 SD(st.d_enc.shape, st.d_enc.dtype),
-                SD(st.d_tri8.shape, st.d_tri8.dtype))
+                SD(st.d_tri8.shape, st.d_tri8.dtype), scalar)
         walk_args = (tab, SD((st.n,), i32))
         return args, walk_args
 
@@ -2171,7 +2183,8 @@ class TpuFrontierSearch:
                         dummy, jnp.zeros((7,), jnp.int32),
                         jnp.asarray(np.int32(0)),  # 0 steps: exit at once
                         jnp.asarray(np.int32(0)), self._htab_arg(),
-                        self.st.d_enc, self.st.d_tri8)
+                        self.st.d_enc, self.st.d_tri8,
+                        jnp.asarray(np.int32(self.fill_target)))
                     np.asarray(out[1][0])
                     wtab = tuple(jnp.zeros(a.shape, a.dtype)
                                  for a in walk_args[0])
@@ -2480,6 +2493,7 @@ class TpuFrontierSearch:
                 tab, counters = self._run_loop(
                     tab, counters, jnp.asarray(np.int32(chunk_now)), ub_dev,
                     self._htab_arg(), self.st.d_enc, self.st.d_tri8,
+                    jnp.asarray(np.int32(self.fill_target)),
                 )
                 stats_np = np.asarray(counters)  # 1 small transfer per chunk
                 _dt = _time.perf_counter() - _t0

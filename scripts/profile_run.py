@@ -68,7 +68,8 @@ def main():
         tab, counters = eng._run_loop(tab, counters,
                                       jnp.asarray(np.int32(args.chunk)),
                                       ub_dev, eng._htab_arg(), st.d_enc,
-                                      st.d_tri8)
+                                      st.d_tri8,
+                                      jnp.asarray(np.int32(eng.fill_target)))
         stats_np = np.asarray(counters)
         chunk_walls.append(time.perf_counter() - t0)
         goal_v, fmin_v = int(stats_np[0]), int(stats_np[1])

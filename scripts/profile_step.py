@@ -46,7 +46,8 @@ def main():
     for _ in range(args.chunks):
         tab, counters = eng._run_loop(tab, counters,
                                       jnp.asarray(np.int32(64)), ub_dev,
-                                      eng._htab_arg(), st.d_enc, st.d_tri8)
+                                      eng._htab_arg(), st.d_enc, st.d_tri8,
+                                      jnp.asarray(np.int32(eng.fill_target)))
     cv = np.asarray(counters)
     print(f"warm state: steps={cv[2]} expanded={cv[3]} n_open={cv[5]} "
           f"fmin={cv[1]}")
