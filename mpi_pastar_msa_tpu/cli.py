@@ -67,11 +67,23 @@ def make_parser() -> argparse.ArgumentParser:
                     help="hash-table capacity (default: auto)")
     ap.add_argument("--chunk", type=int, default=64,
                     help="super-steps per device dispatch")
+    ap.add_argument("--fill", type=int, default=None,
+                    help="selection-fill target for the threshold "
+                         "controller (runtime knob, default batch/2; "
+                         "smaller = shallower f-windows, fewer premature "
+                         "re-expansions, narrower batch tiers — see "
+                         "benchmarks/fill_target_kinase.jsonl)")
+    ap.add_argument("--exchange", choices=("auto", "ragged", "dense"),
+                    default="auto",
+                    help="sharded-engine migration collective: "
+                         "ragged_all_to_all (TPU) or dense capacity+carry "
+                         "all_to_all (CPU fallback)")
     ap.add_argument("--triples", choices=("auto", "on", "off", "fractional"),
                     default="auto",
                     help="triple-wise heuristic cubes (auto: when applicable;"
                          " fractional: all-triples cover with (n-2)-scaled"
-                         " costs, single-chip engine only)")
+                         " costs — on multi-device meshes the cube stack is"
+                         " sharded by triangle)")
     ap.add_argument("--checkpoint", metavar="PATH", default=None,
                     help="periodically checkpoint the search state; resumes "
                          "automatically if PATH exists for the same problem")
@@ -176,7 +188,8 @@ def run(argv=None) -> int:
                                             hash_shift=args.hash_shift,
                                             batch=args.batch,
                                             capacity=args.capacity,
-                                            chunk_steps=args.chunk)
+                                            chunk_steps=args.chunk,
+                                            exchange=args.exchange)
             else:
                 from .search.engine import TpuFrontierSearch
 
@@ -187,7 +200,8 @@ def run(argv=None) -> int:
                                         capacity=args.capacity,
                                         chunk_steps=args.chunk,
                                         checkpoint_path=args.checkpoint,
-                                        triples=args.triples)
+                                        triples=args.triples,
+                                        fill_target=args.fill)
             res = eng.run()
         if args.profile:
             jax.profiler.stop_trace()
