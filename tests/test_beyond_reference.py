@@ -84,3 +84,25 @@ def test_synth7_native_oracle_golden():
     r = NativeAStar(p, h, init_capacity=1 << 24).run()
     assert r.g == GOLD7_G
     assert r.nodes_expanded == 761_134
+
+
+# --- synth10: 10 sequences = 1023 successor masks per expansion --------
+DATA10 = os.path.join(os.path.dirname(__file__), "data", "synth10.fasta")
+GOLD10_G = 575615
+
+
+def test_synth10_fixture_shape():
+    p = problem_from_fasta(DATA10)
+    assert p.n_seq == 10
+    assert all(55 <= len(s) <= 65 for s in p.seqs)
+
+
+@pytest.mark.slow
+def test_synth10_native_oracle_golden():
+    from mpi_pastar_msa_tpu.search.native import NativeAStar
+
+    p = problem_from_fasta(DATA10)
+    h = HPairHeuristic.build(p)
+    r = NativeAStar(p, h, init_capacity=1 << 22).run()
+    assert r.g == GOLD10_G
+    assert r.nodes_expanded == 193_043
