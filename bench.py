@@ -244,7 +244,9 @@ def main() -> None:
             # keep attempting while the timed number is missing OR either
             # number (timed/cold) was blackout-poisoned — a retry is a fresh
             # subprocess against the warm cache, so it costs ~1 min
-            have_clean_timed = k_tpu is not None
+            have_clean_timed = (
+                k_tpu is not None
+                and not extra.get("kinase_tpu_timed_poisoned", False))
             have_clean_cold = (
                 extra.get("kinase_tpu_cold_wall_s") is not None
                 and not extra.get("kinase_tpu_cold_poisoned", False))

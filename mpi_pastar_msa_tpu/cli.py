@@ -69,10 +69,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="super-steps per device dispatch")
     ap.add_argument("--fill", type=int, default=None,
                     help="selection-fill target for the threshold "
-                         "controller (runtime knob, default batch/2; "
-                         "smaller = shallower f-windows, fewer premature "
-                         "re-expansions, narrower batch tiers — see "
-                         "benchmarks/fill_target_kinase.jsonl)")
+                         "controller (default batch/2 single-device, "
+                         "batch*devices multi-device — a MESH-TOTAL "
+                         "target; smaller = shallower f-windows, fewer "
+                         "premature re-expansions, narrower batch tiers "
+                         "— see benchmarks/fill_target_kinase.jsonl)")
     ap.add_argument("--exchange", choices=("auto", "ragged", "dense"),
                     default="auto",
                     help="sharded-engine migration collective: "
@@ -189,7 +190,8 @@ def run(argv=None) -> int:
                                             batch=args.batch,
                                             capacity=args.capacity,
                                             chunk_steps=args.chunk,
-                                            exchange=args.exchange)
+                                            exchange=args.exchange,
+                                            fill_target=args.fill)
             else:
                 from .search.engine import TpuFrontierSearch
 

@@ -31,7 +31,11 @@ def _tpu_is_default() -> bool:
 
         dd = jax.config.jax_default_device
         if dd is not None:
-            return getattr(dd, "platform", "cpu") != "cpu"
+            # the config accepts a platform STRING (e.g. JAX_DEFAULT_DEVICE
+            # =tpu) as well as a Device object — handle both
+            plat = dd if isinstance(dd, str) else getattr(dd, "platform",
+                                                          "cpu")
+            return plat != "cpu"
         return jax.default_backend() != "cpu"
     except Exception:  # noqa: BLE001
         return False
@@ -90,14 +94,13 @@ class HPairHeuristic:
                 from .wavefront import pair_tables_device
 
                 stacked = pair_tables_device(problem)
-            tables = tuple(
-                stacked[k, : len(problem.seqs[x]) + 1, : len(problem.seqs[y]) + 1]
-                for k, (x, y) in enumerate(problem.pairs())
-            )
         elif backend == "device":
             from .wavefront import pair_tables_device
 
             stacked = pair_tables_device(problem)
+        else:
+            stacked = None
+        if stacked is not None:
             tables = tuple(
                 stacked[k, : len(problem.seqs[x]) + 1, : len(problem.seqs[y]) + 1]
                 for k, (x, y) in enumerate(problem.pairs())

@@ -331,7 +331,8 @@ def _u32(x):
 
 def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                           hash_type: str, hash_shift: int, cap: int,
-                          shard_cubes: bool = False, route=_route_cap):
+                          shard_cubes: bool = False, route=_route_cap,
+                          fill: int = None):
     """Bucketed-sig sharded search (see engine.py sig-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
@@ -440,7 +441,8 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                 jnp.minimum(ovf_l, 1) * (1 << 16) + jnp.minimum(covf, 1))
             from ..search.engine import _adapt_thr
 
-            thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
+            thr = _adapt_thr(thr, n_sel_g,
+                             fill if fill is not None else st.B * ndev)
             return (tab, xcar, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
@@ -583,7 +585,8 @@ def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
 
 def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                              hash_type: str, hash_shift: int, cap: int,
-                             shard_cubes: bool = False, route=_route_cap):
+                             shard_cubes: bool = False, route=_route_cap,
+                             fill: int = None):
     """Packed-layout sharded search (see engine.py packed-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
@@ -691,7 +694,8 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                 jnp.minimum(ovf_l, 1) * (1 << 16) + jnp.minimum(covf, 1))
             from ..search.engine import _adapt_thr
 
-            thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
+            thr = _adapt_thr(thr, n_sel_g,
+                             fill if fill is not None else st.B * ndev)
             return (tab, xcar, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
@@ -755,7 +759,8 @@ def _make_sharded_walk_packed(st: _Static, mesh: Mesh, ndev: int):
 
 
 def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
-                      hash_shift: int, cap: int, route=_route_cap):
+                      hash_shift: int, cap: int, route=_route_cap,
+                      fill: int = None):
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
     goal_owner_np = int(own(st.final_np[None, :])[0])
@@ -851,7 +856,8 @@ def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
                 jnp.minimum(ovf_l, 1) * (1 << 16) + jnp.minimum(covf, 1))
             from ..search.engine import _adapt_thr
 
-            thr = _adapt_thr(thr, n_sel_g, st.B * ndev)
+            thr = _adapt_thr(thr, n_sel_g,
+                             fill if fill is not None else st.B * ndev)
             return (tab, xcar, claim, goal_g, fmin_g, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
@@ -926,7 +932,11 @@ class ShardedFrontierSearch:
                  batch: Optional[int] = None, capacity: Optional[int] = None,
                  max_steps: int = 500_000, chunk_steps: int = 256,
                  layout: str = "auto", exchange_cap: Optional[int] = None,
-                 shard_cubes: str = "auto", exchange: str = "auto"):
+                 shard_cubes: str = "auto", exchange: str = "auto",
+                 fill_target: Optional[int] = None):
+        if fill_target is not None and fill_target < 1:
+            raise ValueError("fill_target must be >= 1")
+        self.fill_target = fill_target
         self.layout_pref = layout
         self.problem = problem
         self.heuristic = heuristic if heuristic is not None else HPairHeuristic.build(problem)
@@ -1094,21 +1104,23 @@ class ShardedFrontierSearch:
         if self.layout == "sig":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_sig(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap, shard_cubes=self.shard_cubes, route=route
+                self.exchange_cap, shard_cubes=self.shard_cubes, route=route,
+                fill=self.fill_target
             )
             self._walk = _make_sharded_walk_sig(self.st, self.mesh, self.ndev)
             self._ntab = 3
         elif self.layout == "packed":
             self._init, self._chunk, self._goal_owner = _make_sharded_run_packed(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap, shard_cubes=self.shard_cubes, route=route
+                self.exchange_cap, shard_cubes=self.shard_cubes, route=route,
+                fill=self.fill_target
             )
             self._walk = _make_sharded_walk_packed(self.st, self.mesh, self.ndev)
             self._ntab = 3
         else:
             self._init, self._chunk, self._goal_owner = _make_sharded_run(
                 self.st, self.mesh, self.ndev, hash_type, hash_shift,
-                self.exchange_cap, route=route
+                self.exchange_cap, route=route, fill=self.fill_target
             )
             self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
             self._ntab = 5
@@ -1146,25 +1158,21 @@ class ShardedFrontierSearch:
                 f"{self.layout}|{st.B}|{st.C}|{self.ndev}|{self.hash_type}|"
                 f"{self.hash_shift}|{self.exchange_cap}|{self.exchange}|"
                 f"{self.shard_cubes}|{st.T3}|{st.f0}|{self.ub}|{plat}|"
-                f"{int(self.multiprocess)}".encode())
+                f"{int(self.multiprocess)}|{self.fill_target}".encode())
             base = jax.config.jax_compilation_cache_dir
             if not base:
                 return
             d = os.path.join(base, "exported")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"shchunk_{h.hexdigest()[:20]}.bin")
-            exported = None
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    exported = jex.deserialize(f.read())
-            if exported is None:
-                avals = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
-                              for a in example_args)
-                exported = jex.export(self._chunk, platforms=[plat])(*avals)
-                tmp = path + f".tmp{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    f.write(exported.serialize())
-                os.replace(tmp, path)
+
+            from ..utils.exportcache import load_or_export
+
+            avals = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                          for a in example_args)
+            exported, _ = load_or_export(
+                path,
+                lambda: jex.export(self._chunk, platforms=[plat])(*avals))
             self._chunk = jax.jit(exported.call, donate_argnums=(0, 1, 2, 3))
             self._chunk_exported = True
         except Exception:  # noqa: BLE001 - keep the traced path
@@ -1232,8 +1240,13 @@ class ShardedFrontierSearch:
                     raise
                 attempts += 1
                 if table_ovf:
+                    # skip_cubes when the sharded triangle store is live:
+                    # the rebuild must not re-materialize the full cube
+                    # replica next to the resident sharded copy (capacity
+                    # growth never changes the C-independent cube rows)
                     self.st = _Static(self.problem, self.heuristic, self.st.B,
-                                      self.st.C * 2, f0=self.st.f0)
+                                      self.st.C * 2, f0=self.st.f0,
+                                      skip_cubes=self.shard_cubes)
                 # carry overflow is cheap to fix: double only the wire cap
                 # (no table growth, no C-based cutoff)
                 self.exchange_cap = min(self.st.B * self.st.M,

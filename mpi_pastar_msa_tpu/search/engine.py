@@ -80,7 +80,13 @@ class _Static:
     """Per-problem static data shipped to the device once."""
 
     def __init__(self, problem: Problem, heuristic: HPairHeuristic,
-                 batch: int, capacity: int, f0: Optional[int] = None):
+                 batch: int, capacity: int, f0: Optional[int] = None,
+                 skip_cubes: bool = False):
+        # skip_cubes: leave d_tri8 as the dummy — for rebuilds where the
+        # corner-row cube stack already lives elsewhere (the sharded
+        # triangle store): re-materializing the full replica here while the
+        # sharded copy is resident would double peak memory (kinase
+        # fractional: +6.9 GB) for data that is immediately dropped
         n = problem.n_seq
         self.n = n
         self.M = (1 << n) - 1
@@ -199,8 +205,13 @@ class _Static:
             _dev = getattr(heuristic, "device", None)
             _ctx = (jax.default_device(_dev) if _dev is not None
                     else contextlib.nullcontext())
+            if skip_cubes:
+                _ctx = contextlib.nullcontext()
+                self.d_tri8 = jnp.zeros((1, 8), dtype=jnp.int32)
             with _ctx:
-                if self.T3 * S * S * S * 8 <= (1 << 28):
+                if skip_cubes:
+                    pass  # d_tri8 stays the dummy set above
+                elif self.T3 * S * S * S * 8 <= (1 << 28):
                     t0 = jnp.where(base3 >= 2**29, 0, base3)
                     tp = jnp.pad(t0, ((0, 0), (0, 1), (0, 1), (0, 1)))
                     rows3 = jnp.stack(
@@ -2141,23 +2152,14 @@ class TpuFrontierSearch:
             try:
                 import jax.export as jex
 
+                from ..utils.exportcache import load_or_export
+
                 exported = None
                 if path:
-                    try:
-                        with open(path, "rb") as f:
-                            exported = jex.deserialize(f.read())
-                    except OSError:
-                        pass
-                    if exported is None:
-                        # one-time per (code, problem, config): the big
-                        # trace; serialize so every later process skips it
-                        exported = jex.export(run_loop)(*args)
-                        tmp = path + f".tmp{id(self)}"
-                        with open(tmp, "wb") as f:
-                            f.write(exported.serialize())
-                        import os
-
-                        os.replace(tmp, path)
+                    # cache miss pays the one-time big trace per
+                    # (code, problem, config); every later process skips it
+                    exported, _ = load_or_export(
+                        path, lambda: jex.export(run_loop)(*args))
                 if exported is not None:
                     # ALWAYS run via the exported module (even right after
                     # creating it) so the XLA compile-cache entry is keyed

@@ -62,3 +62,52 @@ def test_fill_target_invariance():
     # shallower windows must not expand MORE than deeper ones by much —
     # the knob trades reopens for steps, monotone-ish in expansions
     assert walls[64] <= walls[256] * 1.25
+
+
+class _StubExported:
+    """Stands in for a jax.export Exported in helper-level tests."""
+
+    def __init__(self, payload: bytes):
+        self.payload = payload
+
+    def serialize(self) -> bytes:
+        return self.payload
+
+
+def test_load_or_export_repairs_corrupt_entry(tmp_path):
+    """A corrupt/version-incompatible cache file must NOT permanently
+    disable the export path: deserialize failure falls through to a fresh
+    export that atomically replaces the bad entry."""
+    from mpi_pastar_msa_tpu.utils.exportcache import load_or_export
+
+    path = str(tmp_path / "entry.bin")
+    with open(path, "wb") as f:
+        f.write(b"not a serialized export module")
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return _StubExported(b"fresh")
+
+    exported, from_cache = load_or_export(path, make)
+    assert calls == [1]            # re-export happened
+    assert not from_cache
+    assert exported.payload == b"fresh"
+    with open(path, "rb") as f:    # bad entry replaced on disk
+        assert f.read() == b"fresh"
+    assert not [p for p in os.listdir(tmp_path) if ".tmp" in p]
+
+
+def test_load_or_export_miss_then_hit(tmp_path):
+    from mpi_pastar_msa_tpu.utils.exportcache import load_or_export
+
+    path = str(tmp_path / "entry.bin")
+    exported, from_cache = load_or_export(
+        path, lambda: _StubExported(b"payload"))
+    assert not from_cache and os.path.exists(path)
+    # a hit would deserialize b"payload" via jax.export — which raises on
+    # the stub bytes; assert the failure path re-exports rather than dying
+    exported2, from_cache2 = load_or_export(
+        path, lambda: _StubExported(b"payload2"))
+    assert not from_cache2 and exported2.payload == b"payload2"

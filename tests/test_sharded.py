@@ -220,3 +220,50 @@ class TestShardedKinase:
         assert res.nodes_migrated > 1_000_000
         assert sum(row[0] for row in res.shard_stats) == res.nodes_expanded
         assert all(row[0] > 0 for row in res.shard_stats)
+
+
+class TestFillTarget:
+    def test_fill_target_reaches_optimum(self):
+        """--fill on a mesh (mesh-total selection-fill target) is a work-
+        shape knob, never a correctness knob."""
+        p = Problem(("ACDEFGHIK", "ACDFGHIK", "ACEFGHK", "CDEFGIK"))
+        h = HPairHeuristic.build(p)
+        want = SerialAStar(p, h).run().g
+        res = ShardedFrontierSearch(
+            p, h, devices=_cpu_devices(2), batch=16, capacity=1 << 12,
+            fill_target=8).run()
+        assert res.g == want
+
+    def test_fill_target_validated(self):
+        p = Problem(("ACDEFGHIK", "ACDFGHIK", "ACEFGHK", "CDEFGIK"))
+        h = HPairHeuristic.build(p)
+        with pytest.raises(ValueError, match="fill_target"):
+            ShardedFrontierSearch(p, h, devices=_cpu_devices(2),
+                                  fill_target=0)
+
+
+class TestStaticSkipCubes:
+    def test_skip_cubes_keeps_metadata_drops_rows(self):
+        """The overflow-retry rebuild must not re-materialize the cube
+        replica while the sharded store is live: skip_cubes keeps all
+        triangle metadata (corner maps, offsets, weights) but leaves
+        d_tri8 as the dummy."""
+        from mpi_pastar_msa_tpu.heuristic.triples import HTriples
+        from mpi_pastar_msa_tpu.search.engine import _Static
+
+        p = Problem(("ACDEFGHIK", "ACDFGHIK", "ACEFGHK", "CDEFGIK"))
+        h = HPairHeuristic.build(p)
+        ht = HTriples.build(h, device=jax.devices("cpu")[0])
+        assert ht is not None
+        full = _Static(p, ht, 16, 1 << 12)
+        skip = _Static(p, ht, 16, 1 << 13, skip_cubes=True)
+        assert full.T3 == skip.T3 > 0
+        assert full.d_tri8.shape[0] > 1
+        assert tuple(skip.d_tri8.shape) == (1, 8)   # dummy, not the stack
+        import numpy as np
+
+        assert np.array_equal(skip.tri_corner, full.tri_corner)
+        assert np.array_equal(np.asarray(skip.d_tri_off),
+                              np.asarray(full.d_tri_off))
+        assert np.array_equal(np.asarray(skip.d_w_h),
+                              np.asarray(full.d_w_h))
