@@ -283,6 +283,10 @@ def main() -> None:
             and extra["kinase_native_mt_wall_s"] <= k_native_wall
             else "native_serial")
         extra["baseline_wall_s"] = round(k_best_native, 2)
+        # both ratios every round so the cross-round time series is
+        # comparable regardless of which baseline is the round's headline
+        extra["vs_native_serial"] = round(k_native_wall / k_tpu_wall, 3)
+        extra["vs_native_best"] = round(k_best_native / k_tpu_wall, 3)
         print(json.dumps({
             "metric": "kinase_wallclock_to_optimal_tpu",
             "value": round(k_tpu_wall, 2),

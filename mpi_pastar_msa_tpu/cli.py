@@ -73,7 +73,9 @@ def make_parser() -> argparse.ArgumentParser:
                          "batch*devices multi-device — a MESH-TOTAL "
                          "target; smaller = shallower f-windows, fewer "
                          "premature re-expansions, narrower batch tiers "
-                         "— see benchmarks/fill_target_kinase.jsonl)")
+                         "— see benchmarks/fill_target_kinase.jsonl; each "
+                         "distinct value is baked into the compiled program "
+                         "and pays one extra trace/export on first use)")
     ap.add_argument("--exchange", choices=("auto", "ragged", "dense"),
                     default="auto",
                     help="sharded-engine migration collective: "

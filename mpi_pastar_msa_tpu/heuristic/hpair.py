@@ -35,7 +35,9 @@ def _tpu_is_default() -> bool:
             # =tpu) as well as a Device object — handle both
             plat = dd if isinstance(dd, str) else getattr(dd, "platform",
                                                           "cpu")
-            return plat != "cpu"
+            # a device-qualified string ("cpu:0") still means CPU — compare
+            # the platform prefix only
+            return plat.split(":")[0] != "cpu"
         return jax.default_backend() != "cpu"
     except Exception:  # noqa: BLE001
         return False

@@ -332,7 +332,7 @@ def _u32(x):
 def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                           hash_type: str, hash_shift: int, cap: int,
                           shard_cubes: bool = False, route=_route_cap,
-                          fill: int = None):
+                          fill: Optional[int] = None):
     """Bucketed-sig sharded search (see engine.py sig-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
@@ -403,7 +403,7 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                 # carry, no sort (matches the single-chip engine's path)
                 migr_ct = jnp.int32(0)
                 covf = jnp.int32(0)
-                tab, ovf_l, claim = _insert_sig(
+                tab, ovf_l, claim, _acct = _insert_sig(
                     st, tab, home,
                     jnp.where(valid, sigb, _EMPTY_WORD), None, packed, valid,
                     claim=claim, step_tag=local.astype(jnp.uint32),
@@ -424,7 +424,7 @@ def _make_sharded_run_sig(st: _Static, mesh: Mesh, ndev: int,
                     [_u32(rs_i), jnp.where(is_local, sigb, _EMPTY_WORD)])
                 all_p = jnp.concatenate([rp, packed])
                 all_valid = jnp.concatenate([rs_i != -1, is_local])
-                tab, ovf_l, claim = _insert_sig(
+                tab, ovf_l, claim, _acct = _insert_sig(
                     st, tab, all_home, all_sig, None, all_p, all_valid,
                     claim=claim, step_tag=local.astype(jnp.uint32),
                 )
@@ -586,7 +586,7 @@ def _make_sharded_walk_sig(st: _Static, mesh: Mesh, ndev: int):
 def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                              hash_type: str, hash_shift: int, cap: int,
                              shard_cubes: bool = False, route=_route_cap,
-                             fill: int = None):
+                             fill: Optional[int] = None):
     """Packed-layout sharded search (see engine.py packed-path notes)."""
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
@@ -655,7 +655,7 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                 # path so the ragged collective executes on hardware)
                 migr_ct = jnp.int32(0)
                 covf = jnp.int32(0)
-                tab, ovf_l, claim = _insert_packed(
+                tab, ovf_l, claim, _acct = _insert_packed(
                     st, tab, keys, h_c, packed, valid,
                     claim=claim, step_tag=local.astype(jnp.uint32),
                 )
@@ -677,7 +677,7 @@ def _make_sharded_run_packed(st: _Static, mesh: Mesh, ndev: int,
                 all_h = jnp.concatenate([rh, h_c])
                 all_p = jnp.concatenate([rp, packed])
                 all_valid = jnp.concatenate([rk[:, 0] != _EMPTY_WORD, is_local])
-                tab, ovf_l, claim = _insert_packed(
+                tab, ovf_l, claim, _acct = _insert_packed(
                     st, tab, all_keys, all_h, all_p, all_valid,
                     claim=claim, step_tag=local.astype(jnp.uint32),
                 )
@@ -760,7 +760,7 @@ def _make_sharded_walk_packed(st: _Static, mesh: Mesh, ndev: int):
 
 def _make_sharded_run(st: _Static, mesh: Mesh, ndev: int, hash_type: str,
                       hash_shift: int, cap: int, route=_route_cap,
-                      fill: int = None):
+                      fill: Optional[int] = None):
     own = owner_fn(hash_type, ndev, hash_shift)
     root_owner = int(own(np.zeros((1, st.n), dtype=np.int32))[0])
     goal_owner_np = int(own(st.final_np[None, :])[0])

@@ -59,6 +59,24 @@ _EMPTY_WORD = np.uint32(0xFFFFFFFF)
 
 
 
+#: Counters vector layout carried through the chunked device drivers:
+#: [0] goal_g  [1] fmin  [2] steps  [3] expanded  [4] reopened  [5] n_open
+#: [6] overflow  [7] thr (selection threshold, carried across chunks)
+#: [8] sel_proc  (sum of expand-pipeline widths Bw — processed SELECTED rows)
+#: [9] lanes_true (sum of valid candidate lanes — the search's true work)
+#: [10] lanes_r0  (sum of insert round-0 widths — processed candidate lanes)
+#: [11] lanes_probe (sum of probe-loop lane-rounds after round 0)
+#: 9-11 feed the throughput accounting in benchmarks/roofline_kinase.md:
+#: padding = lanes_r0/lanes_true - 1, probe rounds/lane = lanes_probe/lanes_true.
+N_COUNTERS = 12
+
+
+def fresh_counters() -> np.ndarray:
+    c = np.zeros(N_COUNTERS, dtype=np.int32)
+    c[0] = INF
+    return c
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(1, (x - 1).bit_length())
 
@@ -1249,7 +1267,11 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     overflow = jnp.sum(valid & ~done)
     placed = valid & done
     t_best = t_best.at[jnp.where(placed, slot, C)].min(packed, mode="drop")
-    return (t_key, t_best, t_closed), overflow, claim
+    # accounting row (probe lane-rounds not tracked through the deep packed
+    # cascade; the sig layout — the production path — reports them exactly)
+    acct = jnp.stack([jnp.sum(valid.astype(jnp.int32)),
+                      jnp.int32(keys.shape[0]), jnp.int32(0)])
+    return (t_key, t_best, t_closed), overflow, claim, acct
 
 
 def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
@@ -1270,7 +1292,9 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
     (tier slot/done -> candidate lanes, ~3.5 ms/step at kinase scale) the
     single full-width placement needed.  ``store`` is (t_sig, t_best); the
     packed (f,par) word rides rec column 2 through compaction.  Returns
-    (store, overflow)."""
+    (store, overflow, probe_lanes) where probe_lanes counts the post-round-0
+    probe-loop work in lane-rounds (calls x loop width) for the throughput
+    accounting (benchmarks/roofline_kinase.md)."""
     C = st.C
     L = rec.shape[0]
     R = st.max_probes
@@ -1294,20 +1318,20 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
         carry = first(carry)
         return run_loop(make_body(rows, idx, step_tag), carry)
 
-    def place_at(store, live, dn, slot, pk):
+    def place_at(store, live, dn, slot, pk, probe_lanes):
         t_sig, t_best = store
         placed = live & dn
         t_best = t_best.at[jnp.where(placed, slot, C)].min(pk, mode="drop")
         overflow = jnp.sum(live & ~dn)
-        return (t_sig, t_best), overflow
+        return (t_sig, t_best), overflow, probe_lanes
 
     un = valid & ~match
     Ma = max(L // 4, 1024)
     if Ma >= L:
-        _, dn, slot, store = run_at(
+        k, dn, slot, store = run_at(
             rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
                   store))
-        return place_at(store, un, dn, slot, packed)
+        return place_at(store, un, dn, slot, packed, k * jnp.int32(L))
 
     # NOTE (r4): a "2 bounded calls + compacted 1/8-width tail" variant of
     # the stages below was built and measured on kinase hardware — it was
@@ -1320,16 +1344,17 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
 
     def tierA(store):
         rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
-        _, adone, aslot, store = run_at(
+        k, adone, aslot, store = run_at(
             rowsA, (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
                     store))
-        return place_at(store, okA, adone, aslot, rowsA[:, 2])
+        return place_at(store, okA, adone, aslot, rowsA[:, 2],
+                        k * jnp.int32(Ma))
 
     def wideA(store):
-        _, dn, slot, store = run_at(
+        k, dn, slot, store = run_at(
             rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
                   store))
-        return place_at(store, un, dn, slot, packed)
+        return place_at(store, un, dn, slot, packed, k * jnp.int32(L))
 
     return jax.lax.cond(fitsA, tierA, wideA, store)
 
@@ -1371,9 +1396,12 @@ def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
         return match, slot0, rec
 
     make_body = partial(_probe_body_sig_factory, st)
-    (t_sig, t_best), overflow = _insert_cascade_sig(
+    (t_sig, t_best), overflow, probe_lanes = _insert_cascade_sig(
         st, (t_sig, t_best), rec, valid, jnp.uint32(0), lookup0, make_body)
-    return (t_sig, t_best, t_closed), overflow, claim
+    # accounting row: [true candidate lanes, round-0 width, probe lane-rounds]
+    acct = jnp.stack([jnp.sum(valid.astype(jnp.int32)),
+                      jnp.int32(home.shape[0]), probe_lanes])
+    return (t_sig, t_best, t_closed), overflow, claim, acct
 
 
 def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
@@ -1603,10 +1631,12 @@ def _expand_insert(st: _Static, tab, claim, coords, g, par, active, goal_g,
     valid = valid & (f_c <= ub)
     packed = ((f_c - st.f0) << st.nb) | mask_c
     goal_g = jnp.minimum(goal_g, jnp.min(jnp.where(is_goal, g_c, INF)))
-    tab, ovf, claim = insert_fn(st, tab, *cand_fn(st, keys, child),
-                                h_c, packed, valid,
-                                claim=claim, step_tag=step_tag)
-    return tab, claim, goal_g, ovf
+    tab, ovf, claim, iacct = insert_fn(st, tab, *cand_fn(st, keys, child),
+                                       h_c, packed, valid,
+                                       claim=claim, step_tag=step_tag)
+    # acct: [expand width Bw, true lanes, insert round-0 width, probe rounds]
+    acct = jnp.concatenate([jnp.int32(coords.shape[0])[None], iacct])
+    return tab, claim, goal_g, ovf, acct
 
 
 def _expand_insert_tiered(st: _Static, tab, claim, coords, g, par, active,
@@ -1665,7 +1695,7 @@ def _make_step_packed(st: _Static, select_fn=None, insert_fn=None,
     def step(tab, goal_g, ub, thr, htab, henc, tri8, fill=None):
         tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
             st, tab, goal_g, thr)
-        tab, _, goal_g, overflow = _expand_insert_tiered(
+        tab, _, goal_g, overflow, _acct = _expand_insert_tiered(
             st, tab, None, coords, g, par, active, n_sel, goal_g, ub, htab,
             henc, None, insert_fn, cand_fn, g_is_f, tri8)
         expanded = jnp.sum(active)
@@ -1694,6 +1724,12 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
             counters[0], counters[2], counters[3],
             counters[4], counters[5], counters[6],
         )
+        # thr is CARRIED across chunk boundaries (counters[7]) so the search
+        # trajectory is independent of chunk size; resetting it to 0 per
+        # chunk was measured to change the expansion count by double-digit
+        # percents between chunk_steps settings
+        thr0 = counters[7]
+        acct0 = counters[8:12]
 
         # the sig layout's probe protocol is claimless: carry a 1-element
         # dummy so the loop structure stays uniform across layouts
@@ -1701,14 +1737,16 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
                   if needs_claim else jnp.zeros((1,), dtype=jnp.uint32))
 
         def cond(carry):
-            tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
+            (tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open,
+             overflow, acct, local) = carry
             return (fmin < goal_g) & (local < chunk_steps) & (overflow == 0)
 
         def body(carry):
-            tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = carry
+            (tab, claim, goal_g, fmin, thr, steps, expanded, reopen, n_open,
+             overflow, acct, local) = carry
             tab, coords, g, par, active, fmin, n_open, n_sel, reopen_ct = select_fn(
                 st, tab, goal_g, thr)
-            tab, claim, goal_g, ovf = _expand_insert_tiered(
+            tab, claim, goal_g, ovf, sacct = _expand_insert_tiered(
                 st, tab, claim, coords, g, par, active, n_sel, goal_g, ub,
                 htab, henc, local.astype(jnp.uint32), insert_fn, cand_fn,
                 g_is_f, tri8)
@@ -1720,15 +1758,17 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
             return (tab, claim, goal_g, fmin, thr, steps + 1,
                     expanded + jnp.sum(active),
                     reopen + reopen_ct,
-                    n_open, overflow + ovf, local + 1)
+                    n_open, overflow + ovf, acct + sacct, local + 1)
 
         init = (tab, claim0, goal_g0, jnp.asarray(np.int32(0)),
-                jnp.asarray(np.int32(0)), steps0,
-                expanded0, reopen0, n_open0, overflow0, jnp.asarray(np.int32(0)))
-        tab, _, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = (
-            jax.lax.while_loop(cond, body, init)
-        )
-        counters = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
+                thr0, steps0,
+                expanded0, reopen0, n_open0, overflow0, acct0,
+                jnp.asarray(np.int32(0)))
+        (tab, _, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow,
+         acct, local) = jax.lax.while_loop(cond, body, init)
+        counters = jnp.concatenate([
+            jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open,
+                       overflow, thr]), acct])
         return tab, counters
 
     return run_chunk
@@ -1870,6 +1910,7 @@ def _make_run_loop(st: _Static):
             counters[0], counters[1], counters[2], counters[3],
             counters[4], counters[5], counters[6],
         )
+        thr0 = counters[7]  # carried across chunks (see the packed driver)
 
         claim0 = jnp.full((st.C,), _EMPTY_WORD, dtype=jnp.uint32)
 
@@ -1898,12 +1939,15 @@ def _make_run_loop(st: _Static):
                     n_open, overflow + ovf, local + 1)
 
         init = (tab, claim0, goal_g0, jnp.asarray(np.int32(0)),
-                jnp.asarray(np.int32(0)), steps0,
+                thr0, steps0,
                 expanded0, reopen0, n_open0, overflow0, jnp.asarray(np.int32(0)))
         tab, _, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = (
             jax.lax.while_loop(cond, body, init)
         )
-        counters = jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open, overflow])
+        zero = jnp.zeros((4,), dtype=jnp.int32)  # no lane acct on this path
+        counters = jnp.concatenate([
+            jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open,
+                       overflow, thr]), zero])
         return tab, counters
 
     return run_chunk
@@ -2095,7 +2139,7 @@ class TpuFrontierSearch:
                    SD((st.C,), i32), SD((st.C,), i32), SD((st.C,), i32))
         scalar = SD((), i32)
         htab = self._htab_arg()
-        args = (tab, SD((7,), i32), scalar, scalar,
+        args = (tab, SD((N_COUNTERS,), i32), scalar, scalar,
                 SD(htab.shape, htab.dtype),
                 SD(st.d_enc.shape, st.d_enc.dtype),
                 SD(st.d_tri8.shape, st.d_tri8.dtype), scalar)
@@ -2182,7 +2226,7 @@ class TpuFrontierSearch:
                     dummy = tuple(
                         jnp.zeros(a.shape, a.dtype) for a in args[0])
                     out = self._run_loop(
-                        dummy, jnp.zeros((7,), jnp.int32),
+                        dummy, jnp.zeros((N_COUNTERS,), jnp.int32),
                         jnp.asarray(np.int32(0)),  # 0 steps: exit at once
                         jnp.asarray(np.int32(0)), self._htab_arg(),
                         self.st.d_enc, self.st.d_tri8,
@@ -2373,6 +2417,7 @@ class TpuFrontierSearch:
         if self.layout == "sig":
             # bucketed-sig format, v3 = 2-D (buckets, ways) t_sig
             h.update(f":w{self.st.ways}v3".encode())
+        h.update(b":ctr12")  # 12-slot counters (thr carry + lane acct)
         return h.hexdigest()[:16]
 
     def _save_checkpoint(self, tab, counters) -> None:
@@ -2466,9 +2511,7 @@ class TpuFrontierSearch:
         tab, counters = self._load_checkpoint()
         if tab is None:
             tab = self._init_table()
-            counters = jnp.asarray(
-                np.array([INF, 0, 0, 0, 0, 0, 0], dtype=np.int32)
-            )
+            counters = jnp.asarray(fresh_counters())
         self.last_phase_walls["init_table"] = _time0.perf_counter() - _t
         ub_dev = jnp.asarray(np.int32(ub))
 
@@ -2526,8 +2569,15 @@ class TpuFrontierSearch:
                 continue
             chunks_done += 1
             goal_v, fmin_v, steps, total_expanded, total_reopen, last_n_open, overflow = (
-                int(v) for v in stats_np
+                int(v) for v in stats_np[:7]
             )
+            # lane accounting (slots 8-11) for throughput forensics
+            self.last_acct = {
+                "sel_proc": int(stats_np[8]),
+                "lanes_true": int(stats_np[9]),
+                "lanes_r0": int(stats_np[10]),
+                "lanes_probe": int(stats_np[11]),
+            }
             if fmin_v >= goal_v or overflow > 0 or steps >= self.max_steps:
                 break
         if overflow > 0:

@@ -34,6 +34,10 @@ def load_or_export(path: str,
             with open(path, "rb") as f:
                 return jex.deserialize(f.read()), True
         except Exception:  # noqa: BLE001 - corrupt/incompatible entry
+            # NOTE: this remove can race a concurrent writer that just
+            # atomically replaced the file with a fresh valid entry; the
+            # race is benign (the remover re-exports identical bytes and
+            # republishes), costing at most one redundant export.
             try:
                 os.remove(path)
             except OSError:

@@ -32,7 +32,7 @@ def main() -> None:
           f"sig_ok={st.sig_ok}", flush=True)
 
     tab = eng._init_table()
-    counters = jnp.zeros((7,), dtype=jnp.int32)
+    counters = jnp.zeros((E.N_COUNTERS,), dtype=jnp.int32)
     htab = eng._htab_arg()
     henc = st.d_enc
     tri8 = st.d_tri8

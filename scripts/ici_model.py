@@ -164,7 +164,9 @@ def main():
     proj = {}
     for p in (4, 8, 16):
         t_ex = a2a_time(ragged_egress, p)
-        t_ag = ring_collective_time(coords_bytes, p)
+        # all_gather moves the TOTAL gathered buffer (p x the per-chip
+        # contribution) around the ring, not just this chip's share
+        t_ag = ring_collective_time(coords_bytes * p, p)
         t_rs = ring_collective_time(partial_bytes / ndev * p, p)
         t_cons = ICI_HOP_LAT * (p - 1) * 2
         t_coll = t_ex + t_ag + t_rs + t_cons

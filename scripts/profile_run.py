@@ -56,7 +56,7 @@ def main():
 
     t0 = time.perf_counter()
     tab = eng._init_table()
-    counters = jnp.asarray(np.array([E.INF, 0, 0, 0, 0, 0, 0], dtype=np.int32))
+    counters = jnp.asarray(E.fresh_counters())
     np.asarray(tab[1][0])  # settle
     t_init = time.perf_counter() - t0
 
@@ -126,6 +126,12 @@ def main():
     print(f"host path  : {t_host:.3f}s")
     print(f"nodes/s    : {expanded / total:,.0f} (loop-only "
           f"{expanded / max(t_loop, 1e-9):,.0f})")
+    sel_proc, lt, lr0, lpr = (int(v) for v in stats_np[8:12])
+    if lt:
+        print(f"lane acct  : true={lt:,} r0={lr0:,} "
+              f"(padding {lr0 / lt - 1:+.1%}) probe_lanes={lpr:,} "
+              f"({lpr / lt:.2f} rounds/lane) sel_proc={sel_proc:,} "
+              f"(expand pad {sel_proc * ((1 << st.n) - 1) / lt - 1:+.1%})")
 
 
 if __name__ == "__main__":

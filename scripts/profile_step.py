@@ -41,7 +41,7 @@ def main():
     print(f"layout={eng.layout} B={st.B} C={st.C} M={st.M} P={st.P}")
 
     tab = eng._init_table()
-    counters = jnp.asarray(np.array([E.INF, 0, 0, 0, 0, 0, 0], dtype=np.int32))
+    counters = jnp.asarray(E.fresh_counters())
     ub_dev = jnp.asarray(np.int32(eng.ub))
     for _ in range(args.chunks):
         tab, counters = eng._run_loop(tab, counters,

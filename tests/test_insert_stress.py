@@ -140,7 +140,7 @@ class TestInsertPackedStress:
             keys = np.asarray(E._pack_keys(jnp.asarray(coords), st.W))
             keys = np.where(valid[:, None], keys, 0xFFFFFFFF).astype(np.uint32)
 
-            tab, ovf, claim = E._insert_packed(
+            tab, ovf, claim, _acct = E._insert_packed(
                 st, tab, jnp.asarray(keys), jnp.asarray(h), jnp.asarray(packed),
                 jnp.asarray(valid), claim=claim, step_tag=jnp.uint32(step),
             )
@@ -199,7 +199,7 @@ class TestInsertPackedStress:
             valid = np.array([rng.random() < 0.8 for _ in range(L)])
 
             home, sigb = E._sig_encode(st, jnp.asarray(coords))
-            tab, ovf, claim = E._insert_sig(
+            tab, ovf, claim, _acct = E._insert_sig(
                 st, tab, home, sigb, jnp.asarray(h), jnp.asarray(packed),
                 jnp.asarray(valid), claim=claim, step_tag=jnp.uint32(step),
             )
@@ -273,7 +273,7 @@ class TestInsertPackedStress:
             valid = np.array([rng.random() < 0.9 for _ in range(L)])
 
             home, sigb = E._sig_encode(st, jnp.asarray(coords))
-            tab, ovf, claim = E._insert_sig(
+            tab, ovf, claim, _acct = E._insert_sig(
                 st, tab, home, sigb, jnp.zeros(L, jnp.int32),
                 jnp.asarray(packed), jnp.asarray(valid),
                 claim=claim, step_tag=jnp.uint32(step),
@@ -319,7 +319,7 @@ class TestInsertPackedStress:
 
         def ins(tab, f, par):
             packed = np.array([(f << nb) | par], dtype=np.int32)
-            tab, ovf, _ = E._insert_packed(
+            tab, ovf, *_rest = E._insert_packed(
                 st, tab, jnp.asarray(keys), jnp.asarray(h), jnp.asarray(packed),
                 jnp.asarray(np.ones(1, bool)))
             assert int(ovf) == 0
