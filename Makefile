@@ -5,7 +5,7 @@
 CC ?= gcc
 CFLAGS ?= -O3 -march=native -shared -fPIC
 
-.PHONY: all native test bench warmcache clean
+.PHONY: all native test bench warmcache warmcheck clean
 
 all: native
 
@@ -24,6 +24,11 @@ test:
 # programs) so a later bench/TPU run pays seconds, not minutes, per retry.
 warmcache:
 	python scripts/warm_cache.py
+
+# Fails loudly when the export-cache key drifted since the last warmcache
+# (i.e. the next fresh process would pay the full retrace).
+warmcheck:
+	python scripts/warm_cache.py --check
 
 bench:
 	python bench.py

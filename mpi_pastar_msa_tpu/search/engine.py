@@ -66,9 +66,13 @@ _EMPTY_WORD = np.uint32(0xFFFFFFFF)
 #: [9] lanes_true (sum of valid candidate lanes — the search's true work)
 #: [10] lanes_r0  (sum of insert round-0 widths — processed candidate lanes)
 #: [11] lanes_probe (sum of probe-loop lane-rounds after round 0)
-#: 9-11 feed the throughput accounting in benchmarks/roofline_kinase.md:
+#: [12] lanes_unmatched (candidates NOT settled by the round-0 row lookup —
+#:      the probe loop's true workload: new keys + chain walkers)
+#: [13] lanes_tail (still unsettled after the 2 bounded tier-A calls — the
+#:      contention/chain tail the 1/8-width tail loop exists for)
+#: 9-13 feed the throughput accounting in benchmarks/roofline_kinase.md:
 #: padding = lanes_r0/lanes_true - 1, probe rounds/lane = lanes_probe/lanes_true.
-N_COUNTERS = 12
+N_COUNTERS = 14
 
 
 def fresh_counters() -> np.ndarray:
@@ -1054,7 +1058,21 @@ def _probe_body_sig_factory(st: _Static, rows, idx_orig, step_tag,
         mway = jnp.argmax(match_w, axis=1).astype(jnp.int32)
         empty_w = row == _EMPTY_WORD
         has_empty = jnp.any(empty_w, axis=1)
-        fway = jnp.argmax(empty_w, axis=1).astype(jnp.int32)
+        # WAY SPREADING: writers pick the (mix(word) mod n_empty)-th empty
+        # way, not the first.  All-first-way racing fills at most ONE way
+        # per bucket per call, so K distinct new keys colliding in a bucket
+        # cost K calls — and the settle loop's cost is the MAX over lanes,
+        # so one hot bucket drags the whole width (measured 2.9 probe
+        # lane-rounds per true lane at C=2^23 before this).  Keying the
+        # pick on the sig word keeps duplicates of the SAME key on the
+        # same way (the race winner's entry is what the losers then match),
+        # while distinct keys scatter across ways and fill in parallel.
+        n_empty = jnp.sum(empty_w.astype(jnp.int32), axis=1)
+        rank = (_mix32(word) % jnp.maximum(n_empty, 1).astype(jnp.uint32)
+                ).astype(jnp.int32)
+        csum = jnp.cumsum(empty_w.astype(jnp.int32), axis=1)
+        fway = jnp.argmax((csum == (rank + 1)[:, None]) & empty_w,
+                          axis=1).astype(jnp.int32)
         try_write = live & ~is_match & has_empty
         curb = cur.astype(jnp.int32)
         t_sig = t_sig.at[jnp.where(try_write, curb, NB), fway].set(
@@ -1270,7 +1288,8 @@ def _insert_core_packed(st: _Static, tab, claim, keys, h_arr, packed, valid,
     # accounting row (probe lane-rounds not tracked through the deep packed
     # cascade; the sig layout — the production path — reports them exactly)
     acct = jnp.stack([jnp.sum(valid.astype(jnp.int32)),
-                      jnp.int32(keys.shape[0]), jnp.int32(0)])
+                      jnp.int32(keys.shape[0]), jnp.int32(0), jnp.int32(0),
+                      jnp.int32(0)])
     return (t_key, t_best, t_closed), overflow, claim, acct
 
 
@@ -1318,20 +1337,27 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
         carry = first(carry)
         return run_loop(make_body(rows, idx, step_tag), carry)
 
-    def place_at(store, live, dn, slot, pk, probe_lanes):
+    def place_at(store, live, dn, slot, pk, probe_lanes, un_ct, tail_ct):
         t_sig, t_best = store
         placed = live & dn
         t_best = t_best.at[jnp.where(placed, slot, C)].min(pk, mode="drop")
         overflow = jnp.sum(live & ~dn)
-        return (t_sig, t_best), overflow, probe_lanes
+        return (t_sig, t_best), overflow, probe_lanes, un_ct, tail_ct
 
     un = valid & ~match
-    Ma = max(L // 4, 1024)
+    un_ct = jnp.sum(un.astype(jnp.int32))
+    # 3L/8, not L/4: the lane accounting measured round-0 unmatched at
+    # ~42% of true lanes (~29% of the compacted width) — above a quarter
+    # buffer, so tierA's fit test failed and the probe loop ran FULL width
+    # on most mid-search steps (22.2M probe lane-rounds vs the ~11M this
+    # width admits; see benchmarks/roofline_kinase.md r5 table)
+    Ma = max((3 * L) // 8, 1024)
     if Ma >= L:
         k, dn, slot, store = run_at(
             rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
                   store))
-        return place_at(store, un, dn, slot, packed, k * jnp.int32(L))
+        return place_at(store, un, dn, slot, packed, k * jnp.int32(L),
+                        un_ct, jnp.int32(0))
 
     # NOTE (r4): a "2 bounded calls + compacted 1/8-width tail" variant of
     # the stages below was built and measured on kinase hardware — it was
@@ -1344,17 +1370,59 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
 
     def tierA(store):
         rowsA, okA, _ = _compact_gather(un, nvA, Ma, rec)
-        k, adone, aslot, store = run_at(
-            rowsA, (jnp.int32(0), ~okA, jnp.full((Ma,), C, dtype=jnp.int32),
-                    store))
-        return place_at(store, okA, adone, aslot, rowsA[:, 2],
-                        k * jnp.int32(Ma))
+        idxA = jnp.arange(Ma, dtype=jnp.uint32)
+        first = make_body(rowsA, idxA, step_tag, use_rec_row=True)
+        abody = make_body(rowsA, idxA, step_tag)
+        # two bounded calls at tier width: call 1 (row-0 reuse) writes new
+        # keys, call 2 settles the write winners as matches.  What remains
+        # is the contention/chain tail — and the settle loop's cost is the
+        # MAX over lanes (the r5 lane accounting measured ~6 calls/step
+        # with the loop at tier width), so the tail loops at 1/8 width.
+        carry = first((jnp.int32(0), ~okA,
+                       jnp.full((Ma,), C, dtype=jnp.int32), store))
+        k2, adone, aslot, store = abody(carry)
+        # place everyone settled by call 2 now (scatter-min is idempotent,
+        # so a lane placed here is immune to double-placement downstream)
+        store, _, _, _, _ = place_at(store, okA, adone, aslot, rowsA[:, 2],
+                                     jnp.int32(0), jnp.int32(0),
+                                     jnp.int32(0))
+
+        unB = okA & ~adone
+        Mb = max(Ma // 8, 512)
+        nvB = _prefix_sum(unB.astype(jnp.int32))
+        fitsB = nvB[-1] <= Mb
+
+        def tailB(store):
+            # carry each lane's CURRENT probe bucket (aslot) through the
+            # compaction so chain-walking lanes resume where they were
+            # instead of re-walking from home (a chain of depth d re-walked
+            # at one bucket per call would re-add d calls)
+            rowsB, okB, _ = _compact_gather(
+                unB, nvB, Mb,
+                jnp.concatenate([rowsA, aslot[:, None]], axis=1))
+            bbody = make_body(rowsB, jnp.arange(Mb, dtype=jnp.uint32),
+                              step_tag)
+            sv0 = jnp.where(okB, rowsB[:, -1], C)
+            kb, bdone, bslot, store = run_loop(
+                bbody, (jnp.int32(0), ~okB, sv0, store))
+            return place_at(store, okB, bdone, bslot, rowsB[:, 2],
+                            jnp.int32(2) * jnp.int32(Ma)
+                            + kb * jnp.int32(Mb), un_ct, nvB[-1])
+
+        def wideB(store):
+            kw, wdone, wslot, store = run_loop((abody), (k2, adone, aslot,
+                                                         store))
+            return place_at(store, unB, wdone, wslot, rowsA[:, 2],
+                            kw * jnp.int32(Ma), un_ct, nvB[-1])
+
+        return jax.lax.cond(fitsB, tailB, wideB, store)
 
     def wideA(store):
         k, dn, slot, store = run_at(
             rec, (jnp.int32(0), ~un, jnp.full((L,), C, dtype=jnp.int32),
                   store))
-        return place_at(store, un, dn, slot, packed, k * jnp.int32(L))
+        return place_at(store, un, dn, slot, packed, k * jnp.int32(L),
+                        un_ct, jnp.int32(0))
 
     return jax.lax.cond(fitsA, tierA, wideA, store)
 
@@ -1396,11 +1464,14 @@ def _insert_core_sig(st: _Static, tab, claim, home, sigb, packed,
         return match, slot0, rec
 
     make_body = partial(_probe_body_sig_factory, st)
-    (t_sig, t_best), overflow, probe_lanes = _insert_cascade_sig(
-        st, (t_sig, t_best), rec, valid, jnp.uint32(0), lookup0, make_body)
-    # accounting row: [true candidate lanes, round-0 width, probe lane-rounds]
+    (t_sig, t_best), overflow, probe_lanes, un_ct, tail_ct = (
+        _insert_cascade_sig(
+            st, (t_sig, t_best), rec, valid, jnp.uint32(0), lookup0,
+            make_body))
+    # accounting row: [true lanes, round-0 width, probe lane-rounds,
+    # round-0 unmatched, post-2-call tail] (see the N_COUNTERS legend)
     acct = jnp.stack([jnp.sum(valid.astype(jnp.int32)),
-                      jnp.int32(home.shape[0]), probe_lanes])
+                      jnp.int32(home.shape[0]), probe_lanes, un_ct, tail_ct])
     return (t_sig, t_best, t_closed), overflow, claim, acct
 
 
@@ -1508,8 +1579,20 @@ def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
         return jax.lax.cond(cnt <= L // 2, compact_to(L // 2),
                             five_eighths_or_full, op)
 
-    return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_more,
-                        (tab, claim))
+    def quarter_or_more(op):
+        return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_more,
+                            op)
+
+    def eighth_or_more(op):
+        # L/16 and L/8 tiers (r5): the lane accounting measured +82% round-0
+        # padding with the ladder bottoming out at L/4 — the long UB-pruned
+        # tail of the search runs thin batches whose valid count sits far
+        # below a quarter width, yet paid quarter-width gather+scatter
+        return jax.lax.cond(cnt <= L // 8, compact_to(L // 8),
+                            quarter_or_more, op)
+
+    return jax.lax.cond(cnt <= L // 16, compact_to(max(L // 16, 1024)),
+                        eighth_or_more, (tab, claim))
 
 
 def _select_sig(st: _Static, tab, goal_g, thr):
@@ -1729,7 +1812,7 @@ def _make_run_loop_packed(st: _Static, select_fn=None, insert_fn=None,
         # chunk was measured to change the expansion count by double-digit
         # percents between chunk_steps settings
         thr0 = counters[7]
-        acct0 = counters[8:12]
+        acct0 = counters[8:14]
 
         # the sig layout's probe protocol is claimless: carry a 1-element
         # dummy so the loop structure stays uniform across layouts
@@ -1944,7 +2027,7 @@ def _make_run_loop(st: _Static):
         tab, _, goal_g, fmin, thr, steps, expanded, reopen, n_open, overflow, local = (
             jax.lax.while_loop(cond, body, init)
         )
-        zero = jnp.zeros((4,), dtype=jnp.int32)  # no lane acct on this path
+        zero = jnp.zeros((6,), dtype=jnp.int32)  # no lane acct on this path
         counters = jnp.concatenate([
             jnp.stack([goal_g, fmin, steps, expanded, reopen, n_open,
                        overflow, thr]), zero])
@@ -2021,12 +2104,15 @@ class TpuFrontierSearch:
                 lattice *= int(L) + 1
                 if lattice > (1 << 27):
                     break
-            # 2^24 is the proven kinase-scale default (bench + export cache
-            # use it; 2^25 was measured to double the select scan AND blow
-            # up reopens ~40x via the wider selection groups).  Searches
-            # whose unique-key set outgrows it hit the overflow retry,
-            # which doubles capacity and recompiles once.
-            capacity = min(1 << 24, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 24))))
+            # 2^23 is the kinase-scale default (r5: vs 2^24 it halves the
+            # per-step select scan and keeps the sig layout eligible —
+            # measured 8.4 ms/step vs 13.6; 2^22 would DROP sig eligibility
+            # for kinase-length keys and fall back to the slower packed
+            # layout, and 2^25 was measured to double the select scan AND
+            # blow up reopens ~40x via the wider selection groups).
+            # Searches whose unique-key set outgrows it hit the overflow
+            # retry, which doubles capacity and recompiles once.
+            capacity = min(1 << 23, max(1 << 16, _next_pow2(min(lattice * 2, 1 << 23))))
         if batch is None:
             # ~0.5M candidates/step on big searches: per-op latency floors
             # dominate below that, expansion waste (batch slack) dominates
@@ -2162,11 +2248,15 @@ class TpuFrontierSearch:
         import hashlib
         import os
 
+        from ..utils.srckey import semantic_source_key
+
         st = self.st
         h = hashlib.sha256()
         try:
-            with open(__file__.rstrip("c"), "rb") as f:
-                h.update(f.read())
+            # SEMANTIC key (AST, docstrings stripped): comment/docstring
+            # edits keep every cached program valid; structural edits
+            # invalidate (see utils/srckey.py — round-4 weak #1)
+            h.update(semantic_source_key(__file__))
         except OSError:
             return ""  # no stable source -> no export cache
         for s in self.problem.seqs:
@@ -2577,6 +2667,8 @@ class TpuFrontierSearch:
                 "lanes_true": int(stats_np[9]),
                 "lanes_r0": int(stats_np[10]),
                 "lanes_probe": int(stats_np[11]),
+                "lanes_unmatched": int(stats_np[12]),
+                "lanes_tail": int(stats_np[13]),
             }
             if fmin_v >= goal_v or overflow > 0 or steps >= self.max_steps:
                 break

@@ -33,7 +33,7 @@ def main() -> None:
 
     print("STAGE engine build (cube fill + UB beam)", flush=True)
     t0 = time.perf_counter()
-    eng = TpuFrontierSearch(kin, kin_h, capacity=1 << 24, batch=16384,
+    eng = TpuFrontierSearch(kin, kin_h, capacity=1 << 23, batch=16384,
                             chunk_steps=64)
     print(f"OK build wall={time.perf_counter() - t0:.1f}s", flush=True)
 

@@ -19,8 +19,10 @@ coordinator = sys.argv[3]
 # TPU plugin that name can resolve to the remote CPU (1 device, no gloo)
 os.environ.pop("JAX_PLATFORMS", None)
 os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+_LOCALDEV = int(os.environ.get("MSA_MH_LOCALDEV", "2"))
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_LOCALDEV}"
 ).strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,7 +35,7 @@ assert pid == rank, (pid, rank)
 import jax  # noqa: E402
 
 cpus = jax.devices("cpu")
-assert len(cpus) == 2 * nprocs, len(cpus)
+assert len(cpus) == _LOCALDEV * nprocs, len(cpus)
 
 from mpi_pastar_msa_tpu.core.problem import problem_from_fasta  # noqa: E402
 from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic  # noqa: E402

@@ -28,7 +28,7 @@ KINASE = "/root/reference/kinase.fasta"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--capacity", type=int, default=1 << 24)
+    ap.add_argument("--capacity", type=int, default=1 << 23)
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--chunk", type=int, default=64)
     args = ap.parse_args()
@@ -126,12 +126,14 @@ def main():
     print(f"host path  : {t_host:.3f}s")
     print(f"nodes/s    : {expanded / total:,.0f} (loop-only "
           f"{expanded / max(t_loop, 1e-9):,.0f})")
-    sel_proc, lt, lr0, lpr = (int(v) for v in stats_np[8:12])
+    sel_proc, lt, lr0, lpr, lun, ltl = (int(v) for v in stats_np[8:14])
     if lt:
         print(f"lane acct  : true={lt:,} r0={lr0:,} "
               f"(padding {lr0 / lt - 1:+.1%}) probe_lanes={lpr:,} "
               f"({lpr / lt:.2f} rounds/lane) sel_proc={sel_proc:,} "
               f"(expand pad {sel_proc * ((1 << st.n) - 1) / lt - 1:+.1%})")
+        print(f"             unmatched={lun:,} ({lun / lt:.1%} of true) "
+              f"tail={ltl:,} ({ltl / max(lun, 1):.1%} of unmatched)")
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--chunks", type=int, default=6)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16384)
-    ap.add_argument("--capacity", type=int, default=1 << 24)
+    ap.add_argument("--capacity", type=int, default=1 << 23)
     args = ap.parse_args()
 
     kin = problem_from_fasta(KINASE)
@@ -74,7 +74,7 @@ def main():
                     acc = acc + jnp.sum(valid)
                 if mode >= 2:
                     packed = (f_c << st.nb) | mask_c
-                    tab, ovf, claim = E._insert_sig(
+                    tab, ovf, claim, _acct = E._insert_sig(
                         st, tab, *E._candidates_sig(st, keys, child), h_c,
                         packed, valid, claim=claim,
                         step_tag=i.astype(jnp.uint32))

@@ -111,3 +111,32 @@ def test_load_or_export_miss_then_hit(tmp_path):
     exported2, from_cache2 = load_or_export(
         path, lambda: _StubExported(b"payload2"))
     assert not from_cache2 and exported2.payload == b"payload2"
+
+
+def test_semantic_source_key_ignores_docs_and_comments(tmp_path):
+    """Round-5 cold-path hardening: cosmetic edits must keep the export
+    key; structural edits must change it (utils/srckey.py)."""
+    from mpi_pastar_msa_tpu.utils.srckey import semantic_source_key
+
+    base = 'def f(x):\n    """doc v1"""\n    return x + 1\n'
+    cosmetic = ('# new leading comment\n'
+                'def f(x):\n    """doc v2, reworded"""\n'
+                '    # explain the +1\n    return x + 1\n')
+    structural = 'def f(x):\n    """doc v1"""\n    return x + 2\n'
+
+    pa = tmp_path / "a.py"
+    pa.write_text(base)
+    k_base = semantic_source_key(str(pa))
+    pb = tmp_path / "b.py"  # different path, same content -> same digest use
+    pb.write_text(cosmetic)
+    pc = tmp_path / "c.py"
+    pc.write_text(structural)
+
+    assert semantic_source_key(str(pb)) == k_base
+    assert semantic_source_key(str(pc)) != k_base
+
+    # multi-module: order matters, content drives the key
+    assert (semantic_source_key(str(pa), str(pb))
+            == semantic_source_key(str(pb), str(pa)))
+    assert (semantic_source_key(str(pa), str(pc))
+            != semantic_source_key(str(pa), str(pb)))

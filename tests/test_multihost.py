@@ -112,3 +112,63 @@ class TestMultihost:
         migrated = [r[4] for r in ref_rows]
         assert all(e > 0 for e in expanded), expanded
         assert sum(migrated) > 0, migrated
+
+    @pytest.mark.slow
+    def test_eight_process_sharded_search(self):
+        """8 jax.distributed processes x 1 virtual device each — the widest
+        rank count the reference's own experiments use (``mpiexec -n 8``,
+        ref: pastar/msa_pastar_main.cpp:87-89; sum_tests.sh sweeps -n up to
+        the host width).  One shard per RANK exercises the pure
+        cross-process routing pattern (no intra-process shard shortcut at
+        all) plus the 8-way host-0 broadcast/consensus fan-in that 2- and
+        4-rank meshes cover only partially.  synth5 to the certified
+        optimum; every rank must observe the identical global per-shard
+        stats table."""
+        coord = f"127.0.0.1:{_free_port()}"
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        env.update(
+            MSA_MH_FASTA=os.path.join(REPO, "tests", "data", "synth5.fasta"),
+            MSA_MH_GOLD="266713",
+            MSA_MH_LOCALDEV="1",      # 8 ranks x 1 device = 8-shard mesh
+            MSA_MH_BATCH="256",
+            MSA_MH_CAP=str(1 << 19),
+        )
+        worker = os.path.join(REPO, "scripts", "multihost_worker.py")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(rank), "8", coord],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO,
+            )
+            for rank in range(8)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                # 8 processes on 2 cores: cold-cache compiles serialize;
+                # warm runs are seconds
+                out, _ = p.communicate(timeout=2400)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        shard_rows = {}
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+            assert f"MULTIHOST_OK rank={rank} g=266713" in out, out[-3000:]
+            assert "ndev=8" in out, out[-3000:]
+            rows = []
+            for line in out.splitlines():
+                if line.startswith(f"MULTIHOST_SHARD rank={rank} "):
+                    rows.append([int(v) for v in line.split()[3:]])
+            shard_rows[rank] = rows
+        ref_rows = shard_rows[0]
+        assert len(ref_rows) == 8, ref_rows
+        for rank in range(1, 8):
+            assert shard_rows[rank] == ref_rows, (rank, shard_rows[rank])
+        expanded = [r[0] for r in ref_rows]
+        migrated = [r[4] for r in ref_rows]
+        assert all(e > 0 for e in expanded), expanded
+        assert sum(migrated) > 0, migrated
