@@ -1522,8 +1522,19 @@ def _insert_packed(st: _Static, tab, keys, h_arr, packed, valid,
     def half_or_full(op):
         return jax.lax.cond(cnt <= L // 2, compact_to(L // 2), full_path, op)
 
-    return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_full,
-                        (tab, claim))
+    def quarter_or_more(op):
+        return jax.lax.cond(cnt <= L // 4, compact_to(L // 4), half_or_full,
+                            op)
+
+    def eighth_or_more(op):
+        # L/16 and L/8 tiers (r5): same motivation as the sig ladder — the
+        # UB-pruned tail runs valid counts far below L/4 (globin6 measured
+        # 3.15x round-0 padding on this path before these tiers)
+        return jax.lax.cond(cnt <= L // 8, compact_to(L // 8),
+                            quarter_or_more, op)
+
+    return jax.lax.cond(cnt <= L // 16, compact_to(max(L // 16, 1024)),
+                        eighth_or_more, (tab, claim))
 
 
 def _insert_sig(st: _Static, tab, home, sigb, h_arr, packed, valid,
@@ -2127,12 +2138,10 @@ class TpuFrontierSearch:
         self.chunk_steps = chunk_steps
         # selection-fill target for the threshold controller (a RUNTIME
         # value: one compiled program serves any setting; see run_chunk).
-        # Default B/2, from the committed kinase sweep
-        # (benchmarks/fill_target_kinase.jsonl): full-B targets push the
-        # f-window deep enough that 57% of expansions were premature
-        # re-expansions; B/2 cuts expansions 15% and wall 6%.
-        self.fill_target = int(fill_target) if fill_target else max(
-            64, batch // 2)
+        # Auto default is decided AFTER the triple-cube setup below — the
+        # two measured regimes differ by 8x (see _auto_fill_target).
+        self._fill_override = int(fill_target) if fill_target else None
+        self.fill_target = self._fill_override or max(64, batch // 2)
         self.snapshot_every = snapshot_every
         self.driver = driver
         self.checkpoint_path = checkpoint_path
@@ -2174,6 +2183,21 @@ class TpuFrontierSearch:
                     f"triples='{triples}' but the triple heuristic is not "
                     "applicable (needs N >= 3, GapOpen == GapExtension, "
                     "positive pair weights, and an in-budget cube size)")
+
+        # auto fill target, now that cube availability is known.  Two
+        # measured regimes (benchmarks/fill_target_kinase.jsonl,
+        # synth4_long.jsonl, r5 sweeps):
+        #  - cube-assisted searches (tight h): B/2; the curve is flat from
+        #    B/4 to B (thr now carries across chunks) and B/2 sits at the
+        #    measured minimum (kinase 2.45 s vs 2.48/2.55 at B and B/4).
+        #  - pairwise-only searches (plateau-heavy, reopen-dominated):
+        #    B/16; steps are pinned by the f-band count (synth4_long: 1127
+        #    steps for every fill in [1024, 16384]) while reopens fall
+        #    ~6x from fill=B/4 to B/16 — measured 13.5 -> 12.7 s, within
+        #    1% of the swept optimum (12.58 at fill=512).
+        if self._fill_override is None:
+            has_cubes = getattr(self.heuristic, "triangles", None) is not None
+            self.fill_target = max(64, batch // (2 if has_cubes else 16))
 
         if _O == _E and not self.degenerate:
             # wider beams tighten the bound; on big searches every unit of UB

@@ -55,7 +55,12 @@ def main() -> None:
 
     print("STAGE engine build", flush=True)
     t0 = time.perf_counter()
-    eng = TpuFrontierSearch(p, h, capacity=1 << 25, batch=16384,
+    # C=2^24 (r5): the r4 lane ran 2^25 — halving the table halves the
+    # per-step select scan and speeds every random access; ~7M uniques
+    # still fit 16.8M slots.  Fill is left to the auto rule (pairwise-only
+    # -> B/16), validated within 1% of the r5 sweep optimum
+    # (benchmarks/synth4_long.jsonl).
+    eng = TpuFrontierSearch(p, h, capacity=1 << 24, batch=16384,
                             chunk_steps=64)
     row["build_wall_s"] = round(time.perf_counter() - t0, 1)
 

@@ -130,6 +130,34 @@ def main() -> None:
         rec["mp4x2_total_wall_s"] = round(time.perf_counter() - t0, 1)
         rec["mp4x2_batch_per_shard"] = 256
         rec["mp4x2_capacity_per_shard"] = 1 << 19
+
+    # --- 8 processes x 1 local device: every shard lives behind a rank
+    # boundary (VERDICT r4 item 6; the widest rank count the reference's
+    # own sweeps use, ref: pastar/msa_pastar_main.cpp:87-89).  Pure
+    # cross-process routing — no intra-process shard shortcut exists. ----
+    if os.environ.get("MSA_MP_EIGHT", "1") == "1":
+        coord = f"127.0.0.1:{_free_port()}"
+        env8 = dict(env, MSA_MH_LOCALDEV="1", MSA_MH_BATCH="256",
+                    MSA_MH_CAP=str(1 << 19), MSA_MH_REPEATS=str(repeats))
+        t0 = time.perf_counter()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(rank), "8", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env8, cwd=REPO) for rank in range(8)]
+        outs8 = [p.communicate(timeout=2400)[0] for p in procs]
+        for out8 in outs8:
+            for line in out8.splitlines():
+                if line.startswith("MULTIHOST_OK rank=0"):
+                    kv = dict(t.split("=") for t in line.split()[1:])
+                    rec["mp8x1_walls_s"] = [float(w) for w in
+                                            kv["walls"].split(",")]
+                    rec["mp8x1_best_wall_s"] = min(rec["mp8x1_walls_s"])
+                    rec["mp8x1_expanded"] = int(kv["expanded"])
+                    rec["mp8x1_migrated"] = int(kv["migrated"])
+                    rec["mp8x1_steps"] = int(kv["steps"])
+        rec["mp8x1_total_wall_s"] = round(time.perf_counter() - t0, 1)
+        rec["mp8x1_batch_per_shard"] = 256
+        rec["mp8x1_capacity_per_shard"] = 1 << 19
     print(json.dumps(rec))
 
 
