@@ -2127,11 +2127,19 @@ class TpuFrontierSearch:
         if batch is None:
             # ~0.5M candidates/step on big searches: per-op latency floors
             # dominate below that, expansion waste (batch slack) dominates
-            # far above it (measured on kinase: B=16384 beats 8192 and
-            # 32768); small tables keep the old 8192 cap — their searches
-            # are short and wide batches just add slack
+            # far above it; small tables keep the old 8192 cap — their
+            # searches are short and wide batches just add slack.  The
+            # final cap is revisited after the triple-cube setup below
+            # (_batch_auto): a tight cube bound keeps each f-band's
+            # frontier thin, so cube-assisted searches measured FASTER at
+            # B=8192/4096 than 16384 (kinase r5: 2.26/2.09 vs 2.45 s),
+            # while pairwise-only searches fill wide batches productively
+            # (synth4_long: B=16384 beats 8192 by 22%).
             cap_b = 16384 if capacity >= (1 << 22) else 8192
             batch = max(64, min(cap_b, (1 << 19) // M))
+            self._batch_auto = True
+        else:
+            self._batch_auto = False
         batch = max(16, min(batch, capacity))
         batch = 1 << (batch.bit_length() - 1)  # grouped selection needs B | C
         self.max_steps = max_steps
@@ -2195,8 +2203,10 @@ class TpuFrontierSearch:
         #    steps for every fill in [1024, 16384]) while reopens fall
         #    ~6x from fill=B/4 to B/16 — measured 13.5 -> 12.7 s, within
         #    1% of the swept optimum (12.58 at fill=512).
+        has_cubes = getattr(self.heuristic, "triangles", None) is not None
+        if self._batch_auto and has_cubes and batch > 8192:
+            batch = 8192  # see the batch-cap note above (kinase r5 sweep)
         if self._fill_override is None:
-            has_cubes = getattr(self.heuristic, "triangles", None) is not None
             self.fill_target = max(64, batch // (2 if has_cubes else 16))
 
         if _O == _E and not self.degenerate:

@@ -33,8 +33,13 @@ def main() -> None:
 
     print("STAGE engine build (cube fill + UB beam)", flush=True)
     t0 = time.perf_counter()
-    eng = TpuFrontierSearch(kin, kin_h, capacity=1 << 23, batch=16384,
-                            chunk_steps=64)
+    # measured-best kinase config (r5 sweep, benchmarks/fill_target_kinase
+    # .jsonl): C=2^23 (select scan halves vs 2^24, sig layout still
+    # encodable), B=4096 + fill=B (2.09 s vs 2.26 at B=8192, 2.45 at
+    # B=16384 — the cube bound keeps f-bands thin, so narrow batches shed
+    # premature expansions faster than the extra steps cost)
+    eng = TpuFrontierSearch(kin, kin_h, capacity=1 << 23, batch=4096,
+                            fill_target=4096, chunk_steps=64)
     print(f"OK build wall={time.perf_counter() - t0:.1f}s", flush=True)
 
     print("STAGE warmup run (includes any residual compile)", flush=True)
