@@ -1125,6 +1125,40 @@ class ShardedFrontierSearch:
             self._walk = _make_sharded_walk(self.st, self.mesh, self.ndev)
             self._ntab = 5
 
+    def _chunk_export_path(self) -> str:
+        """Cache path of the serialized chunk program for THIS config.
+
+        Keyed by the semantic source of sharded+engine, the problem, and
+        every trace-baked config value; also used by
+        ``scripts/warm_cache.py --check`` to detect key drift without
+        re-exporting.  Empty string when no cache dir is configured."""
+        import hashlib
+        import os
+
+        plat = self.devices[0].platform
+        h = hashlib.sha256()
+        import mpi_pastar_msa_tpu.search.engine as _eng
+
+        from ..utils.srckey import semantic_source_key
+
+        # semantic key: survives comment/docstring edits (srckey.py)
+        h.update(semantic_source_key(__file__, _eng.__file__))
+        for sq in self.problem.seqs:
+            h.update(sq.encode())
+            h.update(b"\0")
+        st = self.st
+        h.update(
+            f"{self.layout}|{st.B}|{st.C}|{self.ndev}|{self.hash_type}|"
+            f"{self.hash_shift}|{self.exchange_cap}|{self.exchange}|"
+            f"{self.shard_cubes}|{st.T3}|{st.f0}|{self.ub}|{plat}|"
+            f"{int(self.multiprocess)}|{self.fill_target}".encode())
+        base = jax.config.jax_compilation_cache_dir
+        if not base:
+            return ""
+        d = os.path.join(base, "exported")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"shchunk_{h.hexdigest()[:20]}.bin")
+
     def _maybe_export_chunk(self, example_args) -> None:
         """Swap self._chunk for a StableHLO-export-backed jit (see
         engine._export_cache_path for the rationale: fresh-process cost is
@@ -1138,35 +1172,13 @@ class ShardedFrontierSearch:
         """
         if self.layout == "unpacked" or getattr(self, "_chunk_exported", False):
             return
-        import hashlib
-        import os
-
         try:
             import jax.export as jex
 
-            plat = self.devices[0].platform
-            h = hashlib.sha256()
-            import mpi_pastar_msa_tpu.search.engine as _eng
-
-            from ..utils.srckey import semantic_source_key
-
-            # semantic key: survives comment/docstring edits (srckey.py)
-            h.update(semantic_source_key(__file__, _eng.__file__))
-            for s in self.problem.seqs:
-                h.update(s.encode())
-                h.update(b"\0")
-            st = self.st
-            h.update(
-                f"{self.layout}|{st.B}|{st.C}|{self.ndev}|{self.hash_type}|"
-                f"{self.hash_shift}|{self.exchange_cap}|{self.exchange}|"
-                f"{self.shard_cubes}|{st.T3}|{st.f0}|{self.ub}|{plat}|"
-                f"{int(self.multiprocess)}|{self.fill_target}".encode())
-            base = jax.config.jax_compilation_cache_dir
-            if not base:
+            path = self._chunk_export_path()
+            if not path:
                 return
-            d = os.path.join(base, "exported")
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"shchunk_{h.hexdigest()[:20]}.bin")
+            plat = self.devices[0].platform
 
             from ..utils.exportcache import load_or_export
 

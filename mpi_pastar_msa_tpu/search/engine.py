@@ -38,6 +38,7 @@ exact.
 from __future__ import annotations
 
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -72,6 +73,10 @@ _EMPTY_WORD = np.uint32(0xFFFFFFFF)
 #:      contention/chain tail the 1/8-width tail loop exists for)
 #: 9-13 feed the throughput accounting in benchmarks/roofline_kinase.md:
 #: padding = lanes_r0/lanes_true - 1, probe rounds/lane = lanes_probe/lanes_true.
+#: Slots 8-13 are int32 TELEMETRY sums and can wrap past ~2^31 lane-rounds
+#: on very long runs (>~100M expansions); control flow only reads 0-7, so a
+#: wrap corrupts reporting, never results — consumers should treat negative
+#: values as "overflowed, ignore".
 N_COUNTERS = 14
 
 
@@ -1359,12 +1364,15 @@ def _insert_cascade_sig(st: _Static, store, rec, valid, step_tag,
         return place_at(store, un, dn, slot, packed, k * jnp.int32(L),
                         un_ct, jnp.int32(0))
 
-    # NOTE (r4): a "2 bounded calls + compacted 1/8-width tail" variant of
-    # the stages below was built and measured on kinase hardware — it was
-    # 12-13% SLOWER per step (loop 4.66 s vs 4.11 s, profile_run r4b/r4c
-    # vs r4): the claimless while_loop already settles in ~2 iterations, so
-    # the extra mid-stage placement scatter + prefix-sum/compaction cost
-    # more than the avoided loop iterations.  Keep the simple shape.
+    # HISTORY: an r4 A/B measured a "2 bounded calls + 1/8-width tail"
+    # variant 12-13% SLOWER and reverted it — but that was at C=2^24,
+    # BEFORE way spreading, and before the r5 lane accounting showed the
+    # "settles in ~2 iterations" belief was wrong (measured ~6 calls/step:
+    # the loop cost is the MAX over lanes, and chain walkers drag it).
+    # The r5 re-measurement WITH the accounting flipped the verdict, so
+    # tierA below now IS that shape (2 calls at Ma, tail loop at Ma/8);
+    # the lane counters (N_COUNTERS legend) are how to re-judge it if the
+    # table geometry changes again.
     nvA = _prefix_sum(un.astype(jnp.int32))
     fitsA = nvA[-1] <= Ma
 
@@ -2240,7 +2248,10 @@ class TpuFrontierSearch:
         # lands in the persistent cache, so the first real dispatch loads it.
         # Only for big searches — small problems compile in seconds, and the
         # extra thread would just churn short-lived test processes.
-        if capacity >= (1 << 22):
+        # MSA_NO_PRECOMPILE=1 disables it for key-inspection tools
+        # (scripts/warm_cache.py --check) that must NOT trigger the very
+        # retrace they exist to detect.
+        if capacity >= (1 << 22) and not os.environ.get("MSA_NO_PRECOMPILE"):
             self._start_precompile()
 
     def _precompile_args(self):
@@ -2541,7 +2552,7 @@ class TpuFrontierSearch:
         if self.layout == "sig":
             # bucketed-sig format, v3 = 2-D (buckets, ways) t_sig
             h.update(f":w{self.st.ways}v3".encode())
-        h.update(b":ctr12")  # 12-slot counters (thr carry + lane acct)
+        h.update(b":ctr14")  # 14-slot counters (thr carry + lane acct)
         return h.hexdigest()[:16]
 
     def _save_checkpoint(self, tab, counters) -> None:

@@ -15,30 +15,65 @@ REPO = __file__.rsplit("/", 2)[0]
 
 
 def check() -> int:
-    """Freshness check: does the kinase export-cache entry exist for the
-    CURRENT semantic source key?  Exits nonzero (loudly) when the key has
-    drifted since the last `make warmcache` — i.e. the next fresh process
-    would pay the full retrace.  Run as `make warmcheck` (or
-    `python scripts/warm_cache.py --check`) after any engine edit."""
+    """Freshness check: do the export-cache entries the bench lanes need
+    exist for the CURRENT semantic source keys?  Exits nonzero (loudly)
+    when a key has drifted since the last `make warmcache` — i.e. the next
+    fresh process would pay the full retrace.  Run as `make warmcheck`
+    (or `python scripts/warm_cache.py --check`) after any engine edit.
+
+    MSA_NO_PRECOMPILE prevents the engine build from exporting on the
+    spot — without it the check would itself perform the retrace it
+    exists to detect, then report OK forever after.  Covers BOTH caches:
+    the single-chip kinase runloop and the sharded chunk program (keyed
+    on sharded.py + engine.py)."""
+    os.environ["MSA_NO_PRECOMPILE"] = "1"
     sys.path.insert(0, REPO)
+    import jax
+
     from mpi_pastar_msa_tpu.core.problem import problem_from_fasta
     from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+    from mpi_pastar_msa_tpu.parallel.sharded import ShardedFrontierSearch
     from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
 
+    # config must mirror scripts/bench_kinase_tpu.py exactly (the key
+    # covers every trace-baked config value)
     kin = problem_from_fasta("/root/reference/kinase.fasta")
-    eng = TpuFrontierSearch(kin, HPairHeuristic.build(kin))
-    path = eng._export_cache_path()
-    if not path:
-        print("warmcheck: NO CACHE DIR (jax_compilation_cache_dir unset)")
-        return 2
-    if os.path.exists(path):
-        print(f"warmcheck: OK — export entry present for the current "
-              f"semantic key\n  {path}")
-        return 0
-    print(f"warmcheck: KEY DRIFT — no export entry for the current "
-          f"semantic key; the next fresh process pays the full retrace.\n"
-          f"  missing: {path}\n  run `make warmcache` before benching")
-    return 1
+    kin_h = HPairHeuristic.build(kin)
+    eng = TpuFrontierSearch(kin, kin_h, capacity=1 << 23, batch=4096,
+                            fill_target=4096, chunk_steps=64)
+    paths = {"kinase runloop": eng._export_cache_path()}
+
+    # the smoke lane's sharded engine (scripts/tpu_smoke.py pf_sharded
+    # stage) — checked on whatever devices are visible here; if the TPU is
+    # absent the platform differs from the smoke lane's and the row is
+    # reported as unverifiable rather than drifted
+    try:
+        devs = [d for d in jax.devices() if d.platform != "cpu"]
+        if not devs:
+            print("warmcheck: sharded row skipped (no accelerator here; "
+                  "the smoke lane's key is platform-specific)")
+        else:
+            pf = problem_from_fasta("/root/reference/PF08184.fasta")
+            sh = ShardedFrontierSearch(pf, HPairHeuristic.build(pf),
+                                       devices=devs[:1])
+            paths["sharded chunk (pf, 1-dev)"] = sh._chunk_export_path()
+    except Exception as e:  # noqa: BLE001
+        print(f"warmcheck: sharded row unverifiable ({e})")
+
+    rc = 0
+    for name, path in paths.items():
+        if not path:
+            print(f"warmcheck: {name}: NO CACHE DIR")
+            rc = max(rc, 2)
+        elif os.path.exists(path):
+            print(f"warmcheck: {name}: OK\n  {path}")
+        else:
+            print(f"warmcheck: {name}: KEY DRIFT — no export entry for "
+                  f"the current semantic key; the next fresh process pays "
+                  f"the full retrace.\n  missing: {path}\n"
+                  f"  run `make warmcache` before benching")
+            rc = max(rc, 1)
+    return rc
 
 
 def main() -> None:

@@ -135,8 +135,9 @@ def test_semantic_source_key_ignores_docs_and_comments(tmp_path):
     assert semantic_source_key(str(pb)) == k_base
     assert semantic_source_key(str(pc)) != k_base
 
-    # multi-module: order matters, content drives the key
-    assert (semantic_source_key(str(pa), str(pb))
-            == semantic_source_key(str(pb), str(pa)))
+    # multi-module: content drives the key and ORDER is significant
+    # (pa and pb digest identically, so use the structurally-distinct pc)
+    assert (semantic_source_key(str(pa), str(pc))
+            != semantic_source_key(str(pc), str(pa)))
     assert (semantic_source_key(str(pa), str(pc))
             != semantic_source_key(str(pa), str(pb)))

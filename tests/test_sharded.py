@@ -304,11 +304,19 @@ def test_aot_tpu_ragged_lowering():
     assert res.g == 266713
     st, nd = eng.st, eng.ndev
     rec = eng._last_chunk_avals
+    import numpy as np
+    i32, u32 = np.dtype("int32"), np.dtype("uint32")
     derived_avals = (
-        (nd * st.nbuck, st.ways), (nd * st.C,), (nd * st.C,),
-        (nd * st.B * st.M, 4), (4,), (nd, 5), (1,), (1,),
+        ((nd * st.nbuck, st.ways), u32), ((nd * st.C,), i32),
+        ((nd * st.C,), i32), ((nd * st.B * st.M, 4), i32),
+        ((4,), i32), ((nd, 5), i32), ((1,), i32), ((1,), i32),
+        (st.d_tables4.shape, st.d_tables4.dtype),
+        (st.d_enc.shape, st.d_enc.dtype),
+        (eng._tri8_sharded.shape, i32),
     )
-    for aval, want in zip(rec, derived_avals):
-        assert aval.shape == want, (aval, want)
+    assert len(rec) == len(derived_avals)
+    for aval, (wshape, wdtype) in zip(rec, derived_avals):
+        assert aval.shape == tuple(wshape), (aval, wshape)
+        assert aval.dtype == wdtype, (aval, wdtype)
     blob2, sha2 = eng.aot_export_tpu()  # recorded-aval path must lower too
     assert len(blob2) > 10_000
