@@ -1184,9 +1184,19 @@ class ShardedFrontierSearch:
 
             avals = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
                           for a in example_args)
+            # the ragged exchange lowers to a custom call without a
+            # serialization-compatibility guarantee, which export refuses
+            # by default — disclaimed here because this cache is consumed
+            # on the SAME machine/jax version that wrote it (a mismatch
+            # surfaces as a deserialize failure, which load_or_export
+            # repairs by re-exporting); without this the TPU-mesh smoke
+            # lane silently never cached its chunk program at all
             exported, _ = load_or_export(
                 path,
-                lambda: jex.export(self._chunk, platforms=[plat])(*avals))
+                lambda: jex.export(
+                    self._chunk, platforms=[plat],
+                    disabled_checks=[jex.DisabledSafetyCheck.custom_call(
+                        "ragged_all_to_all")])(*avals))
             self._chunk = jax.jit(exported.call, donate_argnums=(0, 1, 2, 3))
             self._chunk_exported = True
         except Exception:  # noqa: BLE001 - keep the traced path

@@ -60,6 +60,9 @@ _EMPTY_WORD = np.uint32(0xFFFFFFFF)
 
 
 
+# (r5 freeze note: this comment was added AFTER `make warmcache` as the
+# live demonstration that cosmetic edits keep the export caches valid —
+# `make warmcheck` passes with this line present; see utils/srckey.py.)
 #: Counters vector layout carried through the chunked device drivers:
 #: [0] goal_g  [1] fmin  [2] steps  [3] expanded  [4] reopened  [5] n_open
 #: [6] overflow  [7] thr (selection threshold, carried across chunks)
