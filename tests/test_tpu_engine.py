@@ -224,3 +224,28 @@ class TestRealStats:
         assert exp == res.nodes_expanded
         assert n_open == res.open_size
         assert n_closed > 0 and n_open >= 0
+
+
+def test_trajectory_independent_of_chunk_size():
+    """r5 regression guard: the selection threshold (thr) is CARRIED in the
+    counters across chunk dispatches, so the search trajectory — expansion
+    count, steps, reopens — must not depend on chunk_steps.  (Before r5,
+    thr reset to 0 every chunk and chunk_steps=64 vs 256 changed kinase's
+    expansion count by double-digit percents.)"""
+    import os
+
+    from mpi_pastar_msa_tpu.core.problem import problem_from_fasta
+    from mpi_pastar_msa_tpu.heuristic.hpair import HPairHeuristic
+    from mpi_pastar_msa_tpu.search.engine import TpuFrontierSearch
+
+    here = os.path.dirname(__file__)
+    p = problem_from_fasta(os.path.join(here, "data", "synth5.fasta"))
+    h = HPairHeuristic.build(p)
+    runs = {}
+    for chunk in (8, 64):
+        eng = TpuFrontierSearch(p, h, capacity=1 << 19, batch=512,
+                                chunk_steps=chunk)
+        r = eng.run()
+        assert r.g == 266713
+        runs[chunk] = (r.nodes_expanded, r.steps, r.nodes_reopened)
+    assert runs[8] == runs[64], runs
