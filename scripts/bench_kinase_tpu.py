@@ -38,8 +38,13 @@ def main() -> None:
     # encodable), B=4096 + fill=B (2.09 s vs 2.26 at B=8192, 2.45 at
     # B=16384 — the cube bound keeps f-bands thin, so narrow batches shed
     # premature expansions faster than the extra steps cost)
+    # chunk_steps=256: ~2 dispatches for the ~360-step search instead of
+    # ~6 (each chunk boundary pays a tunnel round-trip; thr rides the
+    # counters so chunk size no longer changes the trajectory) — measured
+    # -0.2 s on the loop; chunk_steps is a runtime operand, so this costs
+    # no retrace and each dispatch stays ~1.3 s, far under the watchdog
     eng = TpuFrontierSearch(kin, kin_h, capacity=1 << 23, batch=4096,
-                            fill_target=4096, chunk_steps=64)
+                            fill_target=4096, chunk_steps=256)
     print(f"OK build wall={time.perf_counter() - t0:.1f}s", flush=True)
 
     print("STAGE warmup run (includes any residual compile)", flush=True)
