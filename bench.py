@@ -270,6 +270,30 @@ def main() -> None:
                 k_tpu = res
                 extra.pop("kinase_tpu_timed_poisoned", None)
 
+    # --- beyond-reference TPU lanes (optional: never jeopardize the kinase
+    # headline — they run only after it landed and only within budget).
+    # synth4_long = the pairwise-only long-L class (L>1000 is outside the
+    # reference's correct range); globin6 = the real-biology N=6 family
+    # the reference's compile-time N dispatch cannot reach unbuilt. ------
+    if tpu_state != "absent" and k_tpu is not None:
+        for script, tag, key in (
+                ("bench_synth4_long.py", "SYNTH4_LONG ", "synth4_long"),
+                ("bench_globin6.py", "GLOBIN6 ", "globin6")):
+            if _remaining() < 420:
+                extra[key] = {"skipped": f"budget ({round(_remaining())}s left)"}
+                continue
+            status, text, wall = _run_script(
+                script, timeout=min(900, _remaining() - 180))
+            row = None
+            for line in text.splitlines():
+                if line.startswith(tag):
+                    row = json.loads(line[len(tag):])
+            if row is not None:
+                extra[key] = row
+            else:
+                extra[key] = {"failed": status,
+                              "last_stage": _last_stage(text)}
+
     extra["bench_wall_s"] = round(_elapsed(), 1)
     if k_tpu is not None:
         k_tpu_wall, k_tpu_nodes = k_tpu

@@ -88,6 +88,16 @@ def main() -> None:
         [sys.executable, REPO + "/scripts/bench_kinase_tpu.py"]).returncode
     print(f"warmcache: kinase rc={rc} wall={time.perf_counter() - t0:.0f}s",
           flush=True)
+    # beyond-reference bench lanes (bench.py runs them after the kinase
+    # headline): warm their traces/exports too so the bench pays loads,
+    # not the one-time trace
+    for script in ("bench_synth4_long.py", "bench_globin6.py"):
+        t0 = time.perf_counter()
+        print(f"warmcache: {script}", flush=True)
+        rc = subprocess.run(
+            [sys.executable, f"{REPO}/scripts/{script}"]).returncode
+        print(f"warmcache: {script} rc={rc} "
+              f"wall={time.perf_counter() - t0:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
