@@ -37,7 +37,7 @@ def main() -> None:
 
     print("STAGE engine build", flush=True)
     t0 = time.perf_counter()
-    eng = TpuFrontierSearch(p, h)  # auto config (B=8192, C=2^23, fill B/2)
+    eng = TpuFrontierSearch(p, h, chunk_steps=256)  # else auto (B=8192, C=2^23, fill B/2)
     row["build_wall_s"] = round(time.perf_counter() - t0, 1)
 
     print("STAGE warm-up run", flush=True)

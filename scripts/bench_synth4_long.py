@@ -61,7 +61,7 @@ def main() -> None:
     # -> B/16), validated within 1% of the r5 sweep optimum
     # (benchmarks/synth4_long.jsonl).
     eng = TpuFrontierSearch(p, h, capacity=1 << 24, batch=16384,
-                            chunk_steps=64)
+                            chunk_steps=256)
     row["build_wall_s"] = round(time.perf_counter() - t0, 1)
 
     print("STAGE warm-up run", flush=True)
